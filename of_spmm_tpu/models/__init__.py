@@ -1,0 +1,11 @@
+from of_spmm_tpu.models.gcn import GCN, normalized_adjacency
+from of_spmm_tpu.models.sage import GraphSAGE, mean_adjacency
+from of_spmm_tpu.models.embedding import Embedding
+
+__all__ = [
+    "GCN",
+    "normalized_adjacency",
+    "GraphSAGE",
+    "mean_adjacency",
+    "Embedding",
+]

@@ -1,0 +1,258 @@
+"""Pure-XLA reference implementations — the numeric oracles.
+
+These define the framework's semantics exactly as the reference defines
+them with its gather / unsorted_segment_sum pair:
+
+- ``gather``: out[i, ...] = params[indices[i], ...], out-of-range reads
+  yield zeros (oneflow/user/kernels/gather_kernel_util.cu:28-56 bounds check).
+- ``segment_sum``: out[seg_ids[i], ...] += data[i, ...] with a fixed
+  ``num_segments`` (oneflow/user/ops/unsorted_segment_sum_op.cpp:21-131);
+  out-of-range segment ids are dropped.
+- ``spmv`` / ``spmm`` over COO are exactly segment_sum(vals * gather(x)),
+  the same composition the reference's GNN aggregation uses.
+- low-precision inputs accumulate in float32, mirroring the reference's
+  fp16/bf16 -> fp32 tmp-buffer accumulation
+  (oneflow/user/kernels/unsorted_segment_sum_kernel.cpp:144-217).
+
+Every optimized Pallas kernel is tested against these at the reference's
+own tolerance (rtol=1e-4, atol=1e-5).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from of_spmm_tpu.sparse.binned import BinnedEll
+from of_spmm_tpu.sparse.formats import COO, CSR
+
+_LOW_PRECISION = (jnp.bfloat16, jnp.float16)
+
+
+def _acc_dtype(dtype) -> jnp.dtype:
+    """Accumulation dtype: fp32 for low-precision inputs."""
+    return jnp.float32 if jnp.dtype(dtype) in _LOW_PRECISION else jnp.dtype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# gather / segment_sum — the primitive pair.
+# ---------------------------------------------------------------------------
+
+
+def gather(params: jnp.ndarray, indices: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Row gather with out-of-range -> 0 semantics.
+
+    Matches the reference gather op (oneflow/user/ops/gather_op.cpp:21-90):
+    an index outside [0, params.shape[axis]) — including negative indices —
+    contributes zeros rather than clamping or wrapping. The distributed
+    row-split path relies on this (each shard gathers only rows it owns,
+    zeros elsewhere, outputs combine by partial-sum; gather SBP at
+    oneflow/user/ops/gather_op.cpp:51-82).
+    """
+    n = params.shape[axis]
+    valid = (indices >= 0) & (indices < n)
+    safe = jnp.where(valid, indices, 0)
+    out = jnp.take(params, safe, axis=axis)
+    # broadcast the validity mask over the non-indexed dims
+    mask_shape = [1] * out.ndim
+    for i, s in enumerate(indices.shape):
+        mask_shape[axis + i] = s
+    return jnp.where(valid.reshape(mask_shape), out, jnp.zeros((), out.dtype))
+
+
+def segment_sum(
+    data: jnp.ndarray,
+    segment_ids: jnp.ndarray,
+    num_segments: int,
+) -> jnp.ndarray:
+    """Unsorted segment sum: out[seg_ids[i], ...] += data[i, ...].
+
+    Matches oneflow/user/ops/unsorted_segment_sum_op.cpp:21-131 semantics
+    (out-of-range ids dropped). Accumulates in fp32 for bf16/fp16 data.
+    """
+    acc = _acc_dtype(data.dtype)
+    out = jax.ops.segment_sum(
+        data.astype(acc), segment_ids, num_segments=num_segments
+    )
+    return out.astype(data.dtype)
+
+
+def segment_sum_like(
+    data: jnp.ndarray, segment_ids: jnp.ndarray, like: jnp.ndarray
+) -> jnp.ndarray:
+    """unsorted_segment_sum_like: shape taken from ``like`` — used as
+    gather's backward (oneflow/core/autograd/gradient_funcs/gather.cpp:62-73).
+    """
+    return segment_sum(data, segment_ids, like.shape[0]).astype(like.dtype)
+
+
+# ---------------------------------------------------------------------------
+# SpMV / SpMM / SDDMM over COO and BinnedEll.
+# ---------------------------------------------------------------------------
+
+Sparse = Union[COO, CSR, BinnedEll]
+
+
+def _coerce_coo(a: Sparse) -> COO:
+    if isinstance(a, COO):
+        return a
+    if isinstance(a, CSR):
+        return a.to_coo()  # host-side; fine for oracle use
+    raise TypeError(f"expected COO/CSR, got {type(a)}")
+
+
+def spmv(a: Sparse, x: jnp.ndarray) -> jnp.ndarray:
+    """y = A @ x for a sparse A and dense vector x."""
+    coo = _coerce_coo(a)
+    acc = _acc_dtype(jnp.result_type(coo.vals.dtype, x.dtype))
+    contrib = coo.vals.astype(acc) * gather(x.astype(acc), coo.cols)
+    y = jax.ops.segment_sum(contrib, coo.rows, num_segments=coo.shape[0])
+    return y.astype(x.dtype)
+
+
+def spmm(a: Sparse, x: jnp.ndarray) -> jnp.ndarray:
+    """Y = A @ X for sparse A (n x m) and dense X (m x d).
+
+    This is exactly the reference's GNN aggregation: per-edge gather of the
+    source feature row, scale by edge value, segment-sum into the
+    destination row.
+    """
+    if isinstance(a, BinnedEll):
+        return spmm_binned_xla(a, x)
+    coo = _coerce_coo(a)
+    acc = _acc_dtype(jnp.result_type(coo.vals.dtype, x.dtype))
+    gathered = gather(x.astype(acc), coo.cols)  # (nnz, d)
+    contrib = coo.vals.astype(acc)[:, None] * gathered
+    y = jax.ops.segment_sum(contrib, coo.rows, num_segments=coo.shape[0])
+    return y.astype(x.dtype)
+
+
+def sddmm(
+    lhs: jnp.ndarray,
+    rhs: jnp.ndarray,
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+) -> jnp.ndarray:
+    """Sampled dense-dense matmul: out[e] = lhs[rows[e]] . rhs[cols[e]].
+
+    The pattern-restricted product (L @ R^T)[rows, cols]; the vals-gradient
+    of spmm uses it (dA.vals[e] = g[rows[e]] . X[cols[e]]).
+    """
+    acc = _acc_dtype(jnp.result_type(lhs.dtype, rhs.dtype))
+    le = gather(lhs.astype(acc), rows)  # (nnz, d)
+    re = gather(rhs.astype(acc), cols)  # (nnz, d)
+    return jnp.sum(le * re, axis=-1).astype(lhs.dtype)
+
+
+def spmm_binned_xla(
+    binned: BinnedEll,
+    x: jnp.ndarray,
+    row_chunk: Optional[int] = None,
+) -> jnp.ndarray:
+    """XLA path over the binned-ELL layout: take + einsum + scatter-add.
+
+    Per bucket: gather (R, K, d) feature rows, contract the K (padded-nnz)
+    axis against vals, scatter-add ELL-row results into output rows. With
+    ``row_chunk`` set, ELL rows are processed in chunks via lax.map to bound
+    the materialized gather (R*K*d) memory.
+    """
+    acc = _acc_dtype(jnp.result_type(x.dtype, *(b.vals.dtype for b in binned.buckets))
+                     if binned.buckets else x.dtype)
+    d = x.shape[1]
+    out = jnp.zeros((binned.n_rows, d), dtype=acc)
+    xa = x.astype(acc)
+
+    for b in binned.buckets:
+        def one_chunk(args):
+            cols, vals = args
+            g = jnp.take(xa, cols, axis=0)  # (r, K, d)
+            return jnp.einsum(
+                "rk,rkd->rd", vals.astype(acc), g,
+                preferred_element_type=acc,
+            )
+
+        if row_chunk is None or b.n_ell_rows <= row_chunk:
+            contrib = one_chunk((b.cols, b.vals))
+        else:
+            r = b.n_ell_rows
+            # pad ELL rows to a multiple of row_chunk, then lax.map chunks.
+            pad = -r % row_chunk
+            cols = jnp.pad(b.cols, ((0, pad), (0, 0)))
+            vals = jnp.pad(b.vals, ((0, pad), (0, 0)))
+            nchunks = (r + pad) // row_chunk
+            cols = cols.reshape(nchunks, row_chunk, b.width)
+            vals = vals.reshape(nchunks, row_chunk, b.width)
+            contrib = jax.lax.map(one_chunk, (cols, vals)).reshape(r + pad, d)[:r]
+        out = out.at[b.row_ids].add(contrib)
+    return out.astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# SpGEMM — host-side expand/sort/reduce (plan-time op).
+# ---------------------------------------------------------------------------
+
+
+def spgemm(a: CSR, b: CSR) -> CSR:
+    """C = A @ B for CSR operands — host-side numpy (plan-time).
+
+    Output nnz is unknown until computed, so this runs outside jit
+    (SURVEY.md §7 hard part 4: static-shape JAX needs two-phase or
+    upper-bound allocation; GNN usage — 2-hop expansion A @ A — is graph
+    preprocessing, naturally a plan-time operation). Algorithm:
+    expand every (i,k,v_a) against B's row k, lexsort the (i,j) products,
+    reduce duplicate coordinates by summation.
+    """
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"spgemm shape mismatch: {a.shape} @ {b.shape}")
+    a_indptr = np.asarray(a.indptr).astype(np.int64)
+    a_cols = np.asarray(a.cols)
+    a_vals = np.asarray(a.vals)
+    b_indptr = np.asarray(b.indptr).astype(np.int64)
+    b_cols = np.asarray(b.cols)
+    b_vals = np.asarray(b.vals)
+
+    a_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64), np.diff(a_indptr))
+    # expansion size per A-nonzero = nnz of B row a_cols[e]
+    exp_counts = (b_indptr[a_cols + 1] - b_indptr[a_cols]).astype(np.int64)
+    total = int(exp_counts.sum())
+    if total == 0:
+        return CSR.from_arrays(
+            np.zeros(a.shape[0] + 1, np.int32), np.zeros(0, np.int32),
+            np.zeros(0, a_vals.dtype), (a.shape[0], b.shape[1]),
+        )
+    e_ids = np.repeat(np.arange(a_cols.shape[0], dtype=np.int64), exp_counts)
+    cum = np.zeros(a_cols.shape[0] + 1, dtype=np.int64)
+    np.cumsum(exp_counts, out=cum[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], exp_counts)
+    b_pos = b_indptr[a_cols[e_ids]] + intra
+
+    out_rows = a_rows[e_ids]
+    out_cols = b_cols[b_pos].astype(np.int64)
+    out_vals = a_vals[e_ids] * b_vals[b_pos]
+
+    # reduce duplicates: lexsort by (row, col), segment boundaries where
+    # either changes.
+    order = np.lexsort((out_cols, out_rows))
+    out_rows, out_cols, out_vals = out_rows[order], out_cols[order], out_vals[order]
+    key = out_rows * b.shape[1] + out_cols
+    boundary = np.empty(total, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = key[1:] != key[:-1]
+    group = np.cumsum(boundary) - 1
+    n_out = int(group[-1]) + 1
+    red_vals = np.zeros(n_out, dtype=out_vals.dtype)
+    np.add.at(red_vals, group, out_vals)
+    red_rows = out_rows[boundary]
+    red_cols = out_cols[boundary]
+
+    counts = np.bincount(red_rows, minlength=a.shape[0])
+    indptr = np.zeros(a.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return CSR.from_arrays(
+        indptr.astype(np.int32), red_cols.astype(np.int32), red_vals,
+        (a.shape[0], b.shape[1]),
+    )

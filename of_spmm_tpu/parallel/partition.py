@@ -1,0 +1,231 @@
+"""1-D row partition of a sparse matrix with a precomputed halo-exchange plan.
+
+TPU-native re-expression of the reference's distributed sparse aggregation:
+
+- the per-rank row ranges the reference derives from SBP slice views
+  (oneflow/core/job/nd_sbp_util.cpp:98-106,
+  oneflow/user/kernels/unsorted_segment_sum_kernel.cpp:59-75) become an
+  explicit plan built host-side at partition time;
+- the ragged id-shuffle exchange the reference runs with per-rank
+  ncclSend/ncclRecv count+data rounds
+  (oneflow/user/kernels/data_shuffle_kernel.cu:41-130) becomes a *static*
+  padded all-to-all: per-pair halo index lists are computed once, padded to
+  a uniform width H, and executed as one ``jax.lax.all_to_all`` inside
+  ``shard_map`` — static shapes, so XLA compiles one program and can
+  overlap the collective with local compute.
+
+Plan construction: shard p owns A rows [p*rps, (p+1)*rps) and X rows
+[p*cps, (p+1)*cps). The columns A_p references outside p's own X range are
+halo rows; need[p][q] lists them per owner q. Column indices of A_p are
+remapped at plan time into the concatenated local index space
+[own X (cps) | halo buffer (S*H)], so the kernel runs unmodified on
+[x_local ; halo] with no runtime index translation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from of_spmm_tpu.sparse.binned import DEFAULT_LADDER, SUBLANES, BinnedEll, EllBucket, bin_rows
+from of_spmm_tpu.sparse.formats import CSR
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class StackedBucket:
+    """An EllBucket stacked across shards (leading dim = n_shards)."""
+
+    row_ids: jnp.ndarray  # (S, R)
+    cols: jnp.ndarray  # (S, R, K) — remapped into [0, cps + S*H)
+    vals: jnp.ndarray  # (S, R, K)
+
+    def tree_flatten(self):
+        return (self.row_ids, self.cols, self.vals), ()
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def width(self) -> int:
+        return int(self.cols.shape[2])
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RowPartitionPlan:
+    """Static halo-exchange plan for Y = A @ X row-partitioned over S shards."""
+
+    buckets: Tuple[StackedBucket, ...]
+    send_idx: jnp.ndarray  # (S, S, H) int32: p sends own-local X rows
+    #                         send_idx[p, q] to shard q (padding -> row 0)
+    shape: Tuple[int, int]  # global logical A shape
+    n_shards: int
+    rows_per_shard: int  # output rows per shard (padded)
+    cols_per_shard: int  # X rows per shard (padded)
+    halo_size: int  # H
+
+    def tree_flatten(self):
+        children = (self.buckets, self.send_idx)
+        aux = (self.shape, self.n_shards, self.rows_per_shard,
+               self.cols_per_shard, self.halo_size)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        buckets, send_idx = children
+        shape, s, rps, cps, h = aux
+        return cls(buckets=tuple(buckets), send_idx=send_idx, shape=shape,
+                   n_shards=s, rows_per_shard=rps, cols_per_shard=cps,
+                   halo_size=h)
+
+    @property
+    def halo_fraction(self) -> float:
+        """Exchanged rows / owned rows — comms pressure indicator."""
+        return self.n_shards * self.halo_size / max(1, self.cols_per_shard)
+
+
+def partition_rows(
+    csr: CSR,
+    n_shards: int,
+    ladder: Sequence[int] = DEFAULT_LADDER,
+) -> RowPartitionPlan:
+    """Build the plan (host-side, once per graph x shard count)."""
+    n, m = csr.shape
+    S = n_shards
+    rps = _cdiv(n, S)
+    cps = _cdiv(m, S)
+
+    indptr = np.asarray(csr.indptr).astype(np.int64)
+    cols = np.asarray(csr.cols).astype(np.int64)
+    vals = np.asarray(csr.vals)
+
+    # --- per-shard halo needs -------------------------------------------
+    # need[p][q]: sorted unique global cols owned by q (!=p) referenced by A_p
+    need = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
+    shard_slices = []
+    for p in range(S):
+        r0, r1 = p * rps, min((p + 1) * rps, n)
+        lo, hi = indptr[r0], indptr[r1]
+        shard_slices.append((r0, r1, lo, hi))
+        c = cols[lo:hi]
+        uniq = np.unique(c)
+        owner = uniq // cps
+        for q in range(S):
+            if q == p:
+                continue
+            need[p][q] = uniq[owner == q]
+
+    H = max((need[p][q].shape[0] for p in range(S) for q in range(S)), default=0)
+    H = max(H, 1)
+    H += -H % SUBLANES  # align halo buffer rows
+
+    # --- send plan: p sends need[q][p] (as p-local indices) to q ---------
+    send_idx = np.zeros((S, S, H), dtype=np.int32)
+    for p in range(S):
+        for q in range(S):
+            if q == p:
+                continue
+            idx = need[q][p] - p * cps  # p-local X row indices
+            send_idx[p, q, : idx.shape[0]] = idx
+
+    # --- per-shard local CSR with remapped cols, then bin ----------------
+    per_shard_binned = []
+    for p in range(S):
+        r0, r1, lo, hi = shard_slices[p]
+        c = cols[lo:hi]
+        v = vals[lo:hi]
+        local_indptr = (indptr[r0 : r1 + 1] - lo).astype(np.int64)
+        # remap: own cols -> c - p*cps ; halo col from owner q at position j
+        # in need[p][q] -> cps + q*H + j
+        owner = c // cps
+        remapped = np.empty_like(c)
+        own = owner == p
+        remapped[own] = c[own] - p * cps
+        for q in range(S):
+            if q == p:
+                continue
+            sel = owner == q
+            if not sel.any():
+                continue
+            pos = np.searchsorted(need[p][q], c[sel])
+            remapped[sel] = cps + q * H + pos
+        # pad local rows to rps
+        pad_rows = rps - (r1 - r0)
+        if pad_rows:
+            local_indptr = np.concatenate(
+                [local_indptr, np.full(pad_rows, local_indptr[-1], np.int64)]
+            )
+        local_csr = CSR.from_arrays(
+            local_indptr.astype(np.int32),
+            remapped.astype(np.int32),
+            v,
+            (rps, cps + S * H),
+        )
+        per_shard_binned.append(bin_rows(local_csr, ladder=ladder))
+
+    buckets = _stack_binned(per_shard_binned, ladder)
+    return RowPartitionPlan(
+        buckets=buckets,
+        send_idx=jnp.asarray(send_idx),
+        shape=csr.shape,
+        n_shards=S,
+        rows_per_shard=rps,
+        cols_per_shard=cps,
+        halo_size=H,
+    )
+
+
+def _stack_binned(
+    per_shard: Sequence[BinnedEll], ladder: Sequence[int]
+) -> Tuple[StackedBucket, ...]:
+    """Stack per-shard BinnedElls into uniform (S, R, K) arrays.
+
+    SPMD requires identical shapes on every shard, so each width bucket is
+    padded to the max row count over shards (padding rows: row_id 0,
+    vals 0 — harmless under scatter-add).
+    """
+    S = len(per_shard)
+    widths = sorted(
+        {b.width for sh in per_shard for b in sh.buckets}
+    )
+    out = []
+    for w in widths:
+        per = []
+        for sh in per_shard:
+            found = None
+            for b in sh.buckets:
+                if b.width == w:
+                    found = b
+            per.append(found)
+        rmax = max((b.n_ell_rows if b is not None else 0) for b in per)
+        rmax += -rmax % SUBLANES
+        if rmax == 0:
+            continue
+        rids = np.zeros((S, rmax), np.int32)
+        cols = np.zeros((S, rmax, w), np.int32)
+        vals = np.zeros((S, rmax, w), np.float32)
+        for s, b in enumerate(per):
+            if b is None:
+                continue
+            r = b.n_ell_rows
+            rids[s, :r] = np.asarray(b.row_ids)
+            cols[s, :r] = np.asarray(b.cols)
+            vals[s, :r] = np.asarray(b.vals)
+        out.append(
+            StackedBucket(
+                row_ids=jnp.asarray(rids),
+                cols=jnp.asarray(cols),
+                vals=jnp.asarray(vals),
+            )
+        )
+    return tuple(out)

@@ -1,0 +1,22 @@
+from of_spmm_tpu.utils.config import FLAGS, on_tpu, pallas_interpret_default
+from of_spmm_tpu.utils.roofline import (
+    PEAK_HBM_BYTES_PER_S,
+    SpmmTraffic,
+    detect_peak_bw,
+    spmm_report,
+    time_fn,
+)
+from of_spmm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+__all__ = [
+    "FLAGS",
+    "on_tpu",
+    "pallas_interpret_default",
+    "PEAK_HBM_BYTES_PER_S",
+    "SpmmTraffic",
+    "detect_peak_bw",
+    "spmm_report",
+    "time_fn",
+    "load_checkpoint",
+    "save_checkpoint",
+]

@@ -1,0 +1,35 @@
+"""Test harness: 8 virtual CPU devices, Pallas in interpreter mode.
+
+Mirrors the reference's strategy of running distributed tests without
+dedicated clusters (multi-process simulation,
+ci/test/generic_test_multi_client.sh): here the mesh is 8 virtual CPU
+devices in one process, and Pallas kernels run interpreted. Real-TPU
+execution is exercised by bench.py and __graft_entry__.py.
+"""
+
+import jax
+import pytest
+
+# Must run before any device access. The environment's sitecustomize
+# registers an "axon" TPU backend and forces jax_platforms="axon,cpu";
+# override back to CPU with 8 virtual devices for the test mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+from of_spmm_tpu.utils.config import FLAGS  # noqa: E402
+
+FLAGS.override("OFS_FORCE_PALLAS_INTERPRET", True)
+
+# Reference numeric parity bar (torch_flow_dual_object.py:1044 defaults).
+RTOL = 1e-4
+ATOL = 1e-5
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    import numpy as np
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    assert len(devs) == 8, f"expected 8 virtual cpu devices, got {len(devs)}"
+    return Mesh(np.asarray(devs), ("x",))

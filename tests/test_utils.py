@@ -1,0 +1,100 @@
+"""Config flags, registry, roofline, checkpoint, data generators."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from of_spmm_tpu.data.graphs import NAMED_CONFIGS, load_graph, synthetic_edges
+from of_spmm_tpu.ops.registry import all_ops, lookup
+from of_spmm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from of_spmm_tpu.utils.config import FLAGS, FlagRegistry
+from of_spmm_tpu.utils.roofline import SpmmTraffic, spmm_report, time_fn
+
+
+def test_flag_defaults_and_overrides():
+    r = FlagRegistry()
+    r.define_bool("T_B", True)
+    r.define_int("T_I", 7)
+    assert r.get("T_B") is True and r.get("T_I") == 7
+    r.override("T_I", 9)
+    assert r.get("T_I") == 9
+    r.override("T_I", None)
+    assert r.get("T_I") == 7
+    with pytest.raises(KeyError):
+        r.override("NOPE", 1)
+
+
+def test_flag_env_parsing(monkeypatch):
+    r = FlagRegistry()
+    r.define_bool("T_ENV_B", False)
+    monkeypatch.setenv("T_ENV_B", "true")
+    assert r.get("T_ENV_B") is True
+    monkeypatch.setenv("T_ENV_B", "0")
+    assert r.get("T_ENV_B") is False
+
+
+def test_registry_contents():
+    assert set(all_ops()) >= {"gather", "segment_sum", "spmm", "spmv", "sddmm", "spgemm"}
+    spmm = lookup("spmm")
+    assert "xla" in spmm.impls and "pallas" in spmm.impls
+    assert any("S0" in r.ins[0] for r in spmm.sharding_rules)
+    with pytest.raises(KeyError):
+        spmm.impl("cuda")
+
+
+def test_roofline_math():
+    t = SpmmTraffic(nnz=1000, n_rows=100, n_cols=100, d=128)
+    assert t.gather_bytes == 1000 * 128 * 4
+    assert t.flops == 2 * 1000 * 128
+    rep = spmm_report(seconds=1e-3, traffic=t, peak_bw=1e12)
+    assert rep["gflops"] == pytest.approx(t.flops / 1e-3 / 1e9)
+    assert 0 < rep["roofline_fraction"] < 1
+
+
+def test_time_fn_runs():
+    f = jax.jit(lambda x: x * 2)
+    s = time_fn(f, jnp.ones((8, 8)), warmup=1, iters=3)
+    assert s > 0
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6.0).reshape(2, 3), "b": {"c": jnp.ones(4)}}
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, tree)
+    like = jax.tree_util.tree_map(jnp.zeros_like, tree)
+    out = load_checkpoint(p, like)
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(out["b"]["c"]), np.ones(4))
+
+
+def test_checkpoint_structure_mismatch(tmp_path):
+    p = str(tmp_path / "ckpt.npz")
+    save_checkpoint(p, {"a": jnp.ones(2)})
+    with pytest.raises(ValueError):
+        load_checkpoint(p, {"zzz": jnp.ones(2)})
+
+
+def test_synthetic_graph_stats():
+    cfg = NAMED_CONFIGS["cora"]
+    src, dst = synthetic_edges(cfg, seed=0)
+    assert src.shape[0] == dst.shape[0] <= cfg.n_edges
+    assert src.shape[0] >= 0.9 * cfg.n_edges
+    assert src.min() >= 0 and src.max() < cfg.n_nodes
+
+
+def test_load_graph_cora():
+    csr, cfg = load_graph("cora")
+    assert csr.shape == (cfg.n_nodes, cfg.n_nodes)
+    assert csr.nnz > 0
+    csr.validate()
+
+
+def test_power_law_skew():
+    cfg = NAMED_CONFIGS["reddit-small"]
+    src, dst = synthetic_edges(cfg, seed=0)
+    deg = np.bincount(dst, minlength=cfg.n_nodes)
+    # heavy tail: max degree far above mean
+    assert deg.max() > 20 * deg.mean()
