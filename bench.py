@@ -22,57 +22,61 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_graph(name: str, d: int = 128, iters: int = 10, chain: int = 8):
-    """Time Y = A @ X per impl. ``chain`` SpMMs run back-to-back inside ONE
-    jitted computation (y <- A_hat y on the normalized adjacency, so values
-    stay bounded); this amortizes host->device dispatch latency, which
-    otherwise dominates small graphs on a remotely-attached chip."""
+def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")):
+    """Time Y = A @ X per impl with delta timing: k1 vs k2 chained SpMMs
+    inside one jitted computation (y <- A_hat y on the normalized adjacency,
+    so values stay bounded); the difference cancels the fixed per-call
+    dispatch latency of a remotely-attached chip."""
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from of_spmm_tpu.data.graphs import load_graph
     from of_spmm_tpu.models.gcn import normalized_adjacency
-    from of_spmm_tpu.ops import reference as ref
-    from of_spmm_tpu.ops.pallas.spmm import spmm_pallas
-    from of_spmm_tpu.sparse.binned import bin_rows
-    from of_spmm_tpu.utils.config import on_tpu
-    from of_spmm_tpu.utils.roofline import SpmmTraffic, spmm_report, time_fn
+    from of_spmm_tpu.ops.autograd import make_operator, spmm_internal
+    from of_spmm_tpu.utils.roofline import SpmmTraffic, spmm_report, time_chained
 
     t0 = time.time()
-    csr, cfg = load_graph(name)
+    csr, cfg = load_graph(name, symmetrize=True)
     log(f"[{name}] graph: n={csr.shape[0]:,} nnz={csr.nnz:,} ({time.time()-t0:.1f}s)")
 
     t0 = time.time()
     csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
-    binned = bin_rows(csr)
-    eff = binned.padding_efficiency(csr.nnz)
+    op = make_operator(csr)
+    eff = op.binned.padding_efficiency(csr.nnz)
     log(
-        f"[{name}] binned: buckets="
-        + str([(b.n_ell_rows, b.width) for b in binned.buckets])
-        + f" pad_eff={eff:.3f} ({time.time()-t0:.1f}s)"
+        f"[{name}] plan: widths="
+        + str([b.width for b in op.binned.buckets])
+        + f" pad_eff={eff:.3f} relabeled={op.relabeled}"
+        + f" sym_alias={op.binned_t is op.binned} ({time.time()-t0:.1f}s)"
     )
 
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((csr.shape[1], d)).astype(np.float32))
+    x_int = op.to_internal(x)
 
     traffic = SpmmTraffic(nnz=csr.nnz, n_rows=csr.shape[0], n_cols=csr.shape[1], d=d)
     results = {}
 
-    impls = {
-        "pallas": lambda xx: spmm_pallas(binned, xx, interpret=not on_tpu()),
-        "xla": lambda xx: ref.spmm_binned_xla(binned, xx, row_chunk=32768),
-    }
-    for impl_name, fn in impls.items():
+    for impl_name in impls:
         try:
-            chained = jax.jit(
-                lambda xx: jax.lax.fori_loop(0, chain, lambda i, a: fn(a), xx)
+            def mk(k, impl=impl_name):
+                def f(xx):
+                    def body(i, carry):
+                        s, a = carry
+                        y = spmm_internal(op, a, impl=impl)
+                        return (s + y.ravel()[0] * 1e-30, y)
+                    return jax.lax.fori_loop(0, k, body, (0.0, xx))[1]
+                return jax.jit(f)
+
+            secs = time_chained(
+                mk, x_int, k1=1, iters=iters,
+                est_iter_s=traffic.speed_of_light_s(),
             )
-            secs = time_fn(chained, x, warmup=2, iters=iters) / chain
             rep = spmm_report(secs, traffic)
             results[impl_name] = rep
             log(
-                f"[{name}] {impl_name}: {secs*1e3:.3f} ms/spmm (chain={chain})  "
+                f"[{name}] {impl_name}: {secs*1e3:.3f} ms/spmm  "
                 f"{rep['gflops']:.1f} GF/s  {rep['achieved_gb_s']:.1f} GB/s  "
                 f"roofline={rep['roofline_fraction']:.3f}  "
                 f"(SoL {rep['speed_of_light_ms']:.3f} ms)"
@@ -83,19 +87,26 @@ def bench_graph(name: str, d: int = 128, iters: int = 10, chain: int = 8):
 
 
 def main():
+    os.makedirs(os.path.expanduser("~/.cache/ofs_jax"), exist_ok=True)
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/ofs_jax")
+    )
     ap = argparse.ArgumentParser()
     ap.add_argument("--graph", default=os.environ.get("OFS_BENCH_GRAPH", "ogbn-products"))
     ap.add_argument("--d", type=int, default=128)
-    ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--chain", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--impls", default="xla,pallas")
     ap.add_argument("--sweep", action="store_true", help="also run the small graphs")
     args = ap.parse_args()
+    impls = tuple(args.impls.split(","))
 
     if args.sweep:
         for g in ["cora", "citeseer", "ogbn-arxiv", "reddit-small"]:
-            bench_graph(g, d=args.d, iters=args.iters, chain=args.chain)
+            bench_graph(g, d=args.d, iters=args.iters, impls=impls)
 
-    results = bench_graph(args.graph, d=args.d, iters=args.iters, chain=args.chain)
+    results = bench_graph(args.graph, d=args.d, iters=args.iters, impls=impls)
     best_name, best = max(
         results.items(), key=lambda kv: kv[1]["roofline_fraction"], default=(None, None)
     )

@@ -78,11 +78,14 @@ def synthetic_edges(cfg: GraphConfig, seed: int = 0) -> Tuple[np.ndarray, np.nda
     return src[idx], dst[idx]
 
 
-def load_graph(name: str, seed: int = 0) -> Tuple[CSR, GraphConfig]:
+def load_graph(name: str, seed: int = 0, symmetrize: bool = False) -> Tuple[CSR, GraphConfig]:
     """Adjacency CSR for a named config (disk if present, else synthetic).
 
     On-disk format (``$OFS_DATA_DIR/<name>/edges.npy``): int64 array
-    (2, E) of (src, dst) pairs.
+    (2, E) of (src, dst) pairs. ``symmetrize`` adds reverse edges
+    (A := A union A^T), the standard GCN preprocessing — it also makes the
+    normalized adjacency symmetric, so the spmm backward aliases the
+    forward plan.
     """
     if name not in NAMED_CONFIGS:
         raise KeyError(
@@ -96,6 +99,11 @@ def load_graph(name: str, seed: int = 0) -> Tuple[CSR, GraphConfig]:
         src, dst = edges[0], edges[1]
     else:
         src, dst = synthetic_edges(cfg, seed=seed)
+    if symmetrize:
+        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+        key = src.astype(np.int64) * cfg.n_nodes + dst
+        _, idx = np.unique(key, return_index=True)
+        src, dst = src[idx], dst[idx]
     coo = COO.from_edges(src, dst, cfg.n_nodes)
     return CSR.from_coo(coo), cfg
 

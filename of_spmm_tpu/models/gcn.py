@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from of_spmm_tpu.ops.autograd import SpmmOperator, spmm
+from of_spmm_tpu.ops.autograd import SpmmOperator, spmm, spmm_internal
 from of_spmm_tpu.sparse.formats import COO, CSR
 
 
@@ -76,12 +76,15 @@ class GCN:
         rng: Optional[jax.Array] = None,
     ) -> jnp.ndarray:
         n_layers = len(self.feature_dims) - 1
-        h = x
+        # convert once into the operator's internal row order (free for
+        # non-relabeled operators) so every layer's spmm uses the fast
+        # slice-concat finish; dense transforms are row-order agnostic.
+        h = op.to_internal(x)
         for i in range(n_layers):
             p = params[f"layer_{i}"]
             # aggregate then transform: spmm result (n, fi) @ W (fi, fo)
             # keeps the dense matmul large for the MXU.
-            h = spmm(op, h, impl=impl) @ p["w"] + p["b"]
+            h = spmm_internal(op, h, impl=impl) @ p["w"] + p["b"]
             if i < n_layers - 1:
                 h = self.activation(h)
                 if train and self.dropout > 0.0:
@@ -91,7 +94,7 @@ class GCN:
                     keep = 1.0 - self.dropout
                     mask = jax.random.bernoulli(sub, keep, h.shape)
                     h = jnp.where(mask, h / keep, 0.0)
-        return h
+        return op.from_internal(h)
 
     def loss_fn(self, params, op, x, labels, mask=None, impl: str = "auto"):
         """Masked softmax cross-entropy (full-batch node classification)."""

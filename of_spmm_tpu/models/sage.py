@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from of_spmm_tpu.models.gcn import _glorot
-from of_spmm_tpu.ops.autograd import SpmmOperator, spmm
+from of_spmm_tpu.ops.autograd import SpmmOperator, spmm, spmm_internal
 from of_spmm_tpu.sparse.formats import COO, CSR
 
 
@@ -51,11 +51,11 @@ class GraphSAGE:
     def apply(self, params: dict, op: SpmmOperator, x: jnp.ndarray,
               *, impl: str = "auto") -> jnp.ndarray:
         n_layers = len(self.feature_dims) - 1
-        h = x
+        h = op.to_internal(x)
         for i in range(n_layers):
             p = params[f"layer_{i}"]
-            agg = spmm(op, h, impl=impl)
+            agg = spmm_internal(op, h, impl=impl)
             h = h @ p["w_self"] + agg @ p["w_neigh"] + p["b"]
             if i < n_layers - 1:
                 h = self.activation(h)
-        return h
+        return op.from_internal(h)

@@ -8,6 +8,7 @@ from of_spmm_tpu.ops.autograd import (
     sddmm,
     segment_sum,
     spmm,
+    spmm_internal,
     spmv,
 )
 from of_spmm_tpu.ops.pallas.spmm import spmm_pallas
@@ -21,6 +22,7 @@ __all__ = [
     "gather",
     "segment_sum",
     "spmm",
+    "spmm_internal",
     "spmv",
     "sddmm",
     "spgemm",

@@ -26,7 +26,12 @@ import jax.numpy as jnp
 
 from of_spmm_tpu.ops import reference as ref
 from of_spmm_tpu.ops.pallas.spmm import spmm_pallas
-from of_spmm_tpu.sparse.binned import DEFAULT_LADDER, BinnedEll, bin_rows
+from of_spmm_tpu.sparse.binned import (
+    DEFAULT_LADDER,
+    BinnedEll,
+    bin_rows,
+    bin_rows_relabeled,
+)
 from of_spmm_tpu.sparse.formats import COO, CSR
 from of_spmm_tpu.utils.config import FLAGS, on_tpu
 
@@ -90,22 +95,44 @@ class SpmmOperator:
 
     binned: BinnedEll
     binned_t: BinnedEll
-    coo_rows: jnp.ndarray  # (nnz,) original pattern (CSR order)
+    coo_rows: jnp.ndarray  # (nnz,) original pattern (CSR order, node space)
     coo_cols: jnp.ndarray  # (nnz,)
     coo_vals: jnp.ndarray  # (nnz,) — vector path + sddmm vals-grads
     shape: Tuple[int, int]
+    # relabeling (square matrices only): binned layouts live in an internal
+    # row order chosen for a slice-concat finish; None = identity.
+    old_from_new: Optional[jnp.ndarray] = None  # x_int = x[old_from_new]
+    new_from_old: Optional[jnp.ndarray] = None  # y = y_int[new_from_old]
 
     def tree_flatten(self):
         children = (self.binned, self.binned_t, self.coo_rows, self.coo_cols,
-                    self.coo_vals)
+                    self.coo_vals, self.old_from_new, self.new_from_old)
         return children, (self.shape,)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        binned, binned_t, coo_rows, coo_cols, coo_vals = children
+        (binned, binned_t, coo_rows, coo_cols, coo_vals,
+         old_from_new, new_from_old) = children
         (shape,) = aux
         return cls(binned=binned, binned_t=binned_t, coo_rows=coo_rows,
-                   coo_cols=coo_cols, coo_vals=coo_vals, shape=shape)
+                   coo_cols=coo_cols, coo_vals=coo_vals, shape=shape,
+                   old_from_new=old_from_new, new_from_old=new_from_old)
+
+    @property
+    def relabeled(self) -> bool:
+        return self.old_from_new is not None
+
+    def to_internal(self, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        """Map node-space data into the operator's internal row order."""
+        if self.old_from_new is None:
+            return a
+        return jnp.take(a, self.old_from_new, axis=axis)
+
+    def from_internal(self, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+        """Map internal-order results back to node space."""
+        if self.new_from_old is None:
+            return a
+        return jnp.take(a, self.new_from_old, axis=axis)
 
     @property
     def T(self) -> "SpmmOperator":
@@ -114,19 +141,79 @@ class SpmmOperator:
             coo_rows=self.coo_cols, coo_cols=self.coo_rows,
             coo_vals=self.coo_vals,
             shape=(self.shape[1], self.shape[0]),
+            old_from_new=self.old_from_new, new_from_old=self.new_from_old,
         )
 
     def __matmul__(self, x: jnp.ndarray) -> jnp.ndarray:
         return spmm(self, x)
 
 
+def _is_symmetric(csr: CSR) -> bool:
+    """Exact pattern+value symmetry check (host-side, plan time)."""
+    import numpy as np
+
+    t = csr.transpose()
+    if t.nnz != csr.nnz:
+        return False
+    return (
+        np.array_equal(np.asarray(t.indptr), np.asarray(csr.indptr))
+        and np.array_equal(np.asarray(t.cols), np.asarray(csr.cols))
+        and np.allclose(np.asarray(t.vals), np.asarray(csr.vals), rtol=0, atol=0)
+    )
+
+
 def make_operator(
     a: CSR | COO,
-    ladder: Sequence[int] = DEFAULT_LADDER,
+    ladder="auto",
+    relabel: Optional[bool] = None,
 ) -> SpmmOperator:
-    """Build the plan: bin A and A^T (host-side, once per graph)."""
+    """Build the plan: bin A and A^T (host-side, once per graph).
+
+    ``relabel`` (default: auto — on for square matrices) renumbers rows so
+    the forward finish is a fused slice-concat instead of a permutation
+    gather (~2.3x faster on v5e; see bin_rows_relabeled). The public
+    ``spmm`` still takes/returns node-space arrays — conversion happens at
+    the operator boundary; models convert once and use spmm_internal.
+    For symmetric matrices (e.g. GCN's normalized adjacency) the transpose
+    plan aliases the forward plan, so backward enjoys the same finish.
+    """
+    import numpy as np
+
     csr = CSR.from_coo(a) if isinstance(a, COO) else a
     coo = csr.to_coo()
+    if relabel is None:
+        relabel = csr.shape[0] == csr.shape[1]
+    if relabel and csr.shape[0] != csr.shape[1]:
+        raise ValueError("relabel=True requires a square matrix")
+    if relabel:
+        binned, old_from_new, new_from_old = bin_rows_relabeled(csr, ladder=ladder)
+        if _is_symmetric(csr):
+            binned_t = binned
+        else:
+            # transpose of the RELABELED matrix so spaces line up
+            ofn = np.asarray(old_from_new)
+            nfo = np.asarray(new_from_old)
+            indptr = np.asarray(csr.indptr)
+            cols = np.asarray(csr.cols)
+            vals = np.asarray(csr.vals)
+            degs = np.diff(indptr)
+            rows = np.repeat(np.arange(csr.shape[0]), degs)
+            from of_spmm_tpu.sparse.formats import COO as _COO
+
+            relabeled_t = CSR.from_coo(
+                _COO.from_arrays(nfo[cols], nfo[rows], vals, csr.shape)
+            )
+            binned_t = bin_rows(relabeled_t, ladder=ladder)
+        return SpmmOperator(
+            binned=binned,
+            binned_t=binned_t,
+            coo_rows=coo.rows,
+            coo_cols=coo.cols,
+            coo_vals=coo.vals,
+            shape=csr.shape,
+            old_from_new=old_from_new,
+            new_from_old=new_from_old,
+        )
     return SpmmOperator(
         binned=bin_rows(csr, ladder=ladder),
         binned_t=bin_rows(csr.transpose(), ladder=ladder),
@@ -174,9 +261,25 @@ def _spmm_bwd(impl, op, g):
 _spmm_vjp.defvjp(_spmm_fwd, _spmm_bwd)
 
 
-def spmm(op: SpmmOperator, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
-    """Differentiable Y = A @ X. bwd(dX) = A^T @ dY via the transpose plan."""
+def spmm_internal(op: SpmmOperator, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+    """Y = A @ X in the operator's INTERNAL row order (no conversions).
+
+    For relabeled operators the caller must supply x = op.to_internal(x0)
+    and map results back with op.from_internal; models do this once per
+    forward instead of once per spmm.
+    """
     return _spmm_vjp(op, x, _select_impl(impl))
+
+
+def spmm(op: SpmmOperator, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
+    """Differentiable Y = A @ X in node space.
+
+    bwd(dX) = A^T @ dY via the transpose plan (the gather<->segment_sum
+    pairing of the reference, gradient_funcs/gather.cpp:62-73).
+    """
+    if op.relabeled:
+        return op.from_internal(spmm_internal(op, op.to_internal(x), impl))
+    return spmm_internal(op, x, impl)
 
 
 def spmv(op: SpmmOperator, x: jnp.ndarray) -> jnp.ndarray:

@@ -53,7 +53,7 @@ def _bucket_kernel(cols_ref, vals_ref, x_ref, out_ref, gath_ref, sem_ref, *, K, 
     (a per-wave parity scheme measurably raced).
     """
     T = TILE_ROWS * K  # row-gathers this tile
-    NW = T // W  # issue waves (W divides T)
+    NW = pl.cdiv(T, W)  # issue waves (last wave masked when W doesn't divide T)
 
     def dma(g):
         # works for both python-int and traced g
@@ -64,12 +64,20 @@ def _bucket_kernel(cols_ref, vals_ref, x_ref, out_ref, gath_ref, sem_ref, *, K, 
 
     def issue(w, _):
         for j in range(W):  # static unroll over wave slots
-            dma(w * W + j).start()
+            g = w * W + j
+
+            @pl.when(g < T)
+            def _():
+                dma(g).start()
         return 0
 
     def wait(w, _):
         for j in range(W):
-            dma(w * W + j).wait()
+            g = w * W + j
+
+            @pl.when(g < T)
+            def _():
+                dma(g).wait()
         return 0
 
     jax.lax.fori_loop(0, NW, issue, 0)
@@ -129,11 +137,13 @@ def spmm_pallas(
     accumulation is fp32 (mirrors the reference's fp16->fp32 tmp-buffer
     accumulation, oneflow/user/kernels/unsorted_segment_sum_kernel.cpp:144-217).
     """
+    from of_spmm_tpu.ops.reference import combine_contribs
+
     if interpret is None:
         interpret = pallas_interpret_default()
     xp, d = _pad_features(x)
-    out = jnp.zeros((binned.n_rows, xp.shape[1]), jnp.float32)
-    for b in binned.buckets:
-        contrib = _bucket_contrib(b, xp, interpret)
-        out = out.at[b.row_ids].add(contrib)
+    if not binned.buckets:
+        return jnp.zeros((binned.n_rows, d), x.dtype)
+    contribs = [_bucket_contrib(b, xp, interpret) for b in binned.buckets]
+    out = combine_contribs(binned, contribs, jnp.float32)
     return out[:, :d].astype(x.dtype)

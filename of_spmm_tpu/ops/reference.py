@@ -160,12 +160,13 @@ def spmm_binned_xla(
     ``row_chunk`` set, ELL rows are processed in chunks via lax.map to bound
     the materialized gather (R*K*d) memory.
     """
-    acc = _acc_dtype(jnp.result_type(x.dtype, *(b.vals.dtype for b in binned.buckets))
-                     if binned.buckets else x.dtype)
     d = x.shape[1]
-    out = jnp.zeros((binned.n_rows, d), dtype=acc)
+    if not binned.buckets:
+        return jnp.zeros((binned.n_rows, d), x.dtype)
+    acc = _acc_dtype(jnp.result_type(x.dtype, *(b.vals.dtype for b in binned.buckets)))
     xa = x.astype(acc)
 
+    contribs = []
     for b in binned.buckets:
         def one_chunk(args):
             cols, vals = args
@@ -187,8 +188,57 @@ def spmm_binned_xla(
             cols = cols.reshape(nchunks, row_chunk, b.width)
             vals = vals.reshape(nchunks, row_chunk, b.width)
             contrib = jax.lax.map(one_chunk, (cols, vals)).reshape(r + pad, d)[:r]
-        out = out.at[b.row_ids].add(contrib)
+        contribs.append(contrib)
+
+    out = combine_contribs(binned, contribs, acc)
     return out.astype(x.dtype)
+
+
+def combine_contribs(binned: BinnedEll, contribs, acc) -> jnp.ndarray:
+    """Turn per-bucket ELL-row partial results into output rows.
+
+    With a Finish plan: concatenate and apply the plan-time permutation —
+    one gather (empty rows hit the sentinel and become zeros via the
+    framework's gather semantics) plus a tiny scatter-add for split-row
+    extras. Without: per-bucket sorted scatter-add (used inside shard_map
+    where the finish arrays are not stacked).
+    """
+    from of_spmm_tpu.sparse.binned import BucketExtras, Finish
+
+    if not contribs:
+        return jnp.zeros((binned.n_rows, 0), dtype=acc)
+    d = contribs[0].shape[1]
+    fin = binned.finish
+    if binned.slice_counts is not None:
+        # relabeled layout: output rows ARE the bucket-concat order — the
+        # finish is slicing into the output buffer, which XLA fuses with the
+        # take+einsum producers (a gather/scatter consumer would break that
+        # fusion and cost ~3x; see bin_rows_relabeled docstring).
+        parts = [c[:nf] for c, nf in zip(contribs, binned.slice_counts)]
+        n_first = sum(binned.slice_counts)
+        if n_first < binned.n_rows:  # empty rows sorted to the tail
+            parts.append(jnp.zeros((binned.n_rows - n_first, d), dtype=acc))
+        out = jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
+        assert isinstance(fin, BucketExtras)
+        for contrib, rids, idx in zip(contribs, fin.rids, fin.idx):
+            if rids.shape[0]:
+                out = out.at[rids].add(
+                    jnp.take(contrib, idx, axis=0), indices_are_sorted=True
+                )
+        return out
+    if fin is not None and isinstance(fin, Finish):
+        cat = contribs[0] if len(contribs) == 1 else jnp.concatenate(contribs, axis=0)
+        out = gather(cat, fin.pos)
+        if fin.extra_rids.shape[0]:
+            out = out.at[fin.extra_rids].add(
+                jnp.take(cat, fin.extra_idx, axis=0), indices_are_sorted=True
+            )
+        return out
+    out = jnp.zeros((binned.n_rows, d), dtype=acc)
+    for b, contrib in zip(binned.buckets, contribs):
+        # bin_rows guarantees ascending row_ids (padding repeats the max id)
+        out = out.at[b.row_ids].add(contrib, indices_are_sorted=True)
+    return out
 
 
 # ---------------------------------------------------------------------------

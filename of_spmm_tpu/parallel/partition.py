@@ -97,9 +97,20 @@ class RowPartitionPlan:
 def partition_rows(
     csr: CSR,
     n_shards: int,
-    ladder: Sequence[int] = DEFAULT_LADDER,
+    ladder="auto",
 ) -> RowPartitionPlan:
-    """Build the plan (host-side, once per graph x shard count)."""
+    """Build the plan (host-side, once per graph x shard count).
+
+    With ladder="auto" one global width ladder is chosen from the full
+    graph's degree histogram so every shard bins with the same widths
+    (SPMD requires identical bucket shapes across shards).
+    """
+    from of_spmm_tpu.sparse.binned import optimal_ladder
+
+    if isinstance(ladder, str):
+        if ladder != "auto":
+            raise ValueError(f"ladder must be a sequence or 'auto', got {ladder!r}")
+        ladder = optimal_ladder(csr)
     n, m = csr.shape
     S = n_shards
     rps = _cdiv(n, S)
@@ -218,7 +229,11 @@ def _stack_binned(
             if b is None:
                 continue
             r = b.n_ell_rows
-            rids[s, :r] = np.asarray(b.row_ids)
+            b_rids = np.asarray(b.row_ids)
+            rids[s, :r] = b_rids
+            # keep row_ids ascending through the cross-shard padding too
+            if r:
+                rids[s, r:] = b_rids[-1]
             cols[s, :r] = np.asarray(b.cols)
             vals[s, :r] = np.asarray(b.vals)
         out.append(

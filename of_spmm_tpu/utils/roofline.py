@@ -71,19 +71,72 @@ class SpmmTraffic:
         return self.total_bytes / (peak_bw or detect_peak_bw())
 
 
+def _force(out) -> None:
+    """Force completion: fetch one element to host.
+
+    On remotely-attached (tunneled) devices ``block_until_ready`` can
+    return before execution finishes; a host read of the result cannot.
+    """
+    import numpy as np
+
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
 def time_fn(fn: Callable, *args, warmup: int = 2, iters: int = 10) -> float:
-    """Median wall-clock seconds of fn(*args) with device sync."""
+    """Median wall-clock seconds of fn(*args) with forced host sync."""
     for _ in range(warmup):
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
+        _force(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return times[len(times) // 2]
+
+
+def time_chained(
+    make_chained: Callable[[int], Callable],
+    *args,
+    k1: int = 1,
+    k2: Optional[int] = None,
+    warmup: int = 2,
+    iters: int = 8,
+    est_iter_s: Optional[float] = None,
+    target_marginal_s: float = 0.1,
+    max_chain: int = 4096,
+) -> float:
+    """Per-iteration seconds via delta timing, cancelling fixed dispatch cost.
+
+    ``make_chained(k)`` must return a jitted fn running the op k times
+    back-to-back (data-dependent chain). Returns
+    (t(k2) - t(k1)) / (k2 - k1) — the marginal cost of one iteration,
+    immune to the per-call round-trip latency of tunneled devices.
+
+    If ``k2`` is None it is chosen from ``est_iter_s`` (e.g. the
+    speed-of-light estimate) so that the marginal work is at least
+    ``target_marginal_s`` — small ops need long chains to rise above the
+    per-call noise of a remotely-attached chip. If the measured delta is
+    still below the run-to-run noise, the chain is lengthened and
+    re-measured (up to ``max_chain``).
+    """
+    if k2 is None:
+        est = est_iter_s or 1e-3
+        k2 = k1 + min(max_chain, max(4, int(target_marginal_s / est)))
+    f1 = make_chained(k1)
+    t1 = time_fn(f1, *args, warmup=warmup, iters=iters)
+    while True:
+        f2 = make_chained(k2)
+        t2 = time_fn(f2, *args, warmup=warmup, iters=iters)
+        delta = t2 - t1
+        # Noise guard: the delta must dominate the base measurement's
+        # scale; otherwise lengthen the chain (compile time is O(1) in k
+        # thanks to fori_loop) and try again.
+        if delta > 0.25 * t1 or (k2 - k1) >= max_chain:
+            break
+        k2 = min(k1 + max_chain, k1 + 4 * (k2 - k1))
+    return max(delta, 1e-9) / (k2 - k1)
 
 
 def spmm_report(
