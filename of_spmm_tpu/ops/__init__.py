@@ -6,8 +6,10 @@ from of_spmm_tpu.ops.autograd import (
     gather,
     make_operator,
     sddmm,
+    segment_softmax,
     segment_sum,
     spmm,
+    spmm_coo,
     spmm_internal,
     spmv,
 )
@@ -22,9 +24,11 @@ __all__ = [
     "gather",
     "segment_sum",
     "spmm",
+    "spmm_coo",
     "spmm_internal",
     "spmv",
     "sddmm",
+    "segment_softmax",
     "spgemm",
     "spmm_pallas",
     "OpDef",

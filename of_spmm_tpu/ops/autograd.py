@@ -301,3 +301,41 @@ def sddmm(op: SpmmOperator, lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     le = gather(lhs, op.coo_rows)
     re = gather(rhs, op.coo_cols)
     return jnp.sum(le * re, axis=-1)
+
+
+def spmm_coo(
+    rows: jnp.ndarray,
+    cols: jnp.ndarray,
+    vals: jnp.ndarray,
+    x: jnp.ndarray,
+    n_rows: int,
+) -> jnp.ndarray:
+    """Y = A @ X for a runtime-valued COO pattern (edge-list path).
+
+    Unlike ``spmm`` (whose values are baked into the plan), the values here
+    are a traced array — differentiable in BOTH vals and x. This is the
+    aggregation used when per-edge weights are computed inside the model
+    (GAT attention); it is exactly the reference's gather + scale +
+    unsorted_segment_sum composition.
+    """
+    contrib = vals[:, None] * gather(x, cols)
+    return segment_sum(contrib, rows, n_rows)
+
+
+def segment_softmax(
+    scores: jnp.ndarray, segment_ids: jnp.ndarray, num_segments: int
+) -> jnp.ndarray:
+    """Softmax over each segment (per destination row of an edge list).
+
+    Numerically stabilized with a per-segment max; the building block of
+    attention-weighted aggregation (GAT). Differentiable end-to-end via the
+    gather / segment_sum pairing.
+    """
+    seg_max = jax.ops.segment_max(
+        jax.lax.stop_gradient(scores), segment_ids, num_segments=num_segments
+    )
+    # empty segments produce -inf max; neutralize before the gather
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    ex = jnp.exp(scores - ref.gather(seg_max, segment_ids))
+    denom = segment_sum(ex, segment_ids, num_segments)
+    return ex / (ref.gather(denom, segment_ids) + 1e-16)

@@ -1,0 +1,23 @@
+"""optim — optimizers + lr schedules (reference: python/oneflow/optim)."""
+
+from of_spmm_tpu.optim import lr_scheduler
+from of_spmm_tpu.optim.optimizers import (
+    Optimizer,
+    adam,
+    adamw,
+    clip_grad_norm,
+    ftrl,
+    lamb,
+    sgd,
+)
+
+__all__ = [
+    "Optimizer",
+    "sgd",
+    "adam",
+    "adamw",
+    "lamb",
+    "ftrl",
+    "clip_grad_norm",
+    "lr_scheduler",
+]
