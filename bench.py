@@ -36,26 +36,33 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     from of_spmm_tpu.ops.autograd import make_operator, spmm_internal
     from of_spmm_tpu.utils.roofline import SpmmTraffic, spmm_report, time_chained
 
-    t0 = time.time()
-    csr, cfg = load_graph(name, symmetrize=True)
-    log(f"[{name}] graph: n={csr.shape[0]:,} nnz={csr.nnz:,} ({time.time()-t0:.1f}s)")
+    from of_spmm_tpu.data.cache import cached
+    from of_spmm_tpu.ops.autograd import place_operator
 
     t0 = time.time()
-    csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
-    op = make_operator(csr)
-    eff = op.binned.padding_efficiency(csr.nnz)
+
+    def build():
+        csr, cfg = load_graph(name, symmetrize=True)
+        csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
+        return make_operator(csr, place=False), csr.nnz, csr.shape
+
+    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v1", build)
+    log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({time.time()-t0:.1f}s)")
+    t0 = time.time()
+    op = place_operator(op)
+    eff = op.binned.padding_efficiency(nnz)
     log(
-        f"[{name}] plan: widths="
+        f"[{name}] placed: widths="
         + str([b.width for b in op.binned.buckets])
         + f" pad_eff={eff:.3f} relabeled={op.relabeled}"
-        + f" sym_alias={op.binned_t is op.binned} ({time.time()-t0:.1f}s)"
+        + f" sym_alias={op.transpose_aliased} ({time.time()-t0:.1f}s)"
     )
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.standard_normal((csr.shape[1], d)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((shape[1], d)).astype(np.float32))
     x_int = op.to_internal(x)
 
-    traffic = SpmmTraffic(nnz=csr.nnz, n_rows=csr.shape[0], n_cols=csr.shape[1], d=d)
+    traffic = SpmmTraffic(nnz=nnz, n_rows=shape[0], n_cols=shape[1], d=d)
     results = {}
 
     for impl_name in impls:

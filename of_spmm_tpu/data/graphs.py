@@ -94,18 +94,27 @@ def load_graph(name: str, seed: int = 0, symmetrize: bool = False) -> Tuple[CSR,
     cfg = NAMED_CONFIGS[name]
     data_dir = os.environ.get("OFS_DATA_DIR", "")
     path = os.path.join(data_dir, name, "edges.npy") if data_dir else ""
-    if path and os.path.exists(path):
-        edges = np.load(path)
-        src, dst = edges[0], edges[1]
+
+    def build() -> CSR:
+        if path and os.path.exists(path):
+            edges = np.load(path)
+            src, dst = edges[0], edges[1]
+        else:
+            src, dst = synthetic_edges(cfg, seed=seed)
+        if symmetrize:
+            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            key = src.astype(np.int64) * cfg.n_nodes + dst
+            _, idx = np.unique(key, return_index=True)
+            src, dst = src[idx], dst[idx]
+        return CSR.from_coo(COO.from_edges(src, dst, cfg.n_nodes))
+
+    if cfg.n_edges >= 10_000_000:  # big graphs: cache the built CSR on disk
+        from of_spmm_tpu.data.cache import cached
+
+        csr = cached("csr", f"{name}|seed{seed}|sym{int(symmetrize)}|v1", build)
     else:
-        src, dst = synthetic_edges(cfg, seed=seed)
-    if symmetrize:
-        src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-        key = src.astype(np.int64) * cfg.n_nodes + dst
-        _, idx = np.unique(key, return_index=True)
-        src, dst = src[idx], dst[idx]
-    coo = COO.from_edges(src, dst, cfg.n_nodes)
-    return CSR.from_coo(coo), cfg
+        csr = build()
+    return csr, cfg
 
 
 def random_features(

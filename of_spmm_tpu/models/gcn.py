@@ -34,8 +34,9 @@ def normalized_adjacency(csr: CSR, add_self_loops: bool = True) -> CSR:
         rows = np.concatenate([rows, np.arange(n, dtype=rows.dtype)])
         cols = np.concatenate([cols, np.arange(n, dtype=cols.dtype)])
         vals = np.concatenate([vals, np.ones(n, dtype=vals.dtype)])
-    deg = np.zeros(n, dtype=np.float64)
-    np.add.at(deg, rows, vals)
+    # bincount (buffered) instead of np.add.at — ufunc.at is unbuffered and
+    # takes minutes at 10^8 nnz.
+    deg = np.bincount(rows, weights=vals.astype(np.float64), minlength=n)
     dinv = 1.0 / np.sqrt(np.maximum(deg, 1e-12))
     vals = (vals * dinv[rows] * dinv[cols]).astype(np.float32)
     return CSR.from_coo(COO.from_arrays(rows, cols, vals, csr.shape))

@@ -24,8 +24,7 @@ def mean_adjacency(csr: CSR) -> CSR:
     coo = csr.to_coo()
     rows = np.asarray(coo.rows)
     vals = np.asarray(coo.vals).astype(np.float64)
-    deg = np.zeros(csr.shape[0], dtype=np.float64)
-    np.add.at(deg, rows, np.abs(vals) * 0 + 1.0)
+    deg = np.bincount(rows, minlength=csr.shape[0]).astype(np.float64)
     scale = 1.0 / np.maximum(deg, 1.0)
     new_vals = (vals * scale[rows]).astype(np.float32)
     return CSR.from_coo(COO.from_arrays(rows, coo.cols, new_vals, csr.shape))

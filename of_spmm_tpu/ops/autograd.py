@@ -122,6 +122,17 @@ class SpmmOperator:
     def relabeled(self) -> bool:
         return self.old_from_new is not None
 
+    @property
+    def transpose_aliased(self) -> bool:
+        """True when the backward plan shares the forward plan's arrays
+        (symmetric matrices) — identity survives placement/pickling at the
+        leaf level even when the containers were rebuilt."""
+        if self.binned_t is self.binned:
+            return True
+        if not self.binned.buckets or not self.binned_t.buckets:
+            return False
+        return self.binned_t.buckets[0].vals is self.binned.buckets[0].vals
+
     def to_internal(self, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         """Map node-space data into the operator's internal row order."""
         if self.old_from_new is None:
@@ -166,8 +177,13 @@ def make_operator(
     a: CSR | COO,
     ladder="auto",
     relabel: Optional[bool] = None,
+    place: bool = True,
 ) -> SpmmOperator:
     """Build the plan: bin A and A^T (host-side, once per graph).
+
+    With ``place`` (default) the finished plan is moved to device in one
+    jax.device_put; place=False keeps numpy arrays (for disk caching —
+    see data/cache.py — or CPU-only use).
 
     ``relabel`` (default: auto — on for square matrices) renumbers rows so
     the forward finish is a fused slice-concat instead of a permutation
@@ -185,6 +201,9 @@ def make_operator(
         relabel = csr.shape[0] == csr.shape[1]
     if relabel and csr.shape[0] != csr.shape[1]:
         raise ValueError("relabel=True requires a square matrix")
+    def _place(op):
+        return place_operator(op) if place else op
+
     if relabel:
         binned, old_from_new, new_from_old = bin_rows_relabeled(csr, ladder=ladder)
         if _is_symmetric(csr):
@@ -204,7 +223,7 @@ def make_operator(
                 _COO.from_arrays(nfo[cols], nfo[rows], vals, csr.shape)
             )
             binned_t = bin_rows(relabeled_t, ladder=ladder)
-        return SpmmOperator(
+        return _place(SpmmOperator(
             binned=binned,
             binned_t=binned_t,
             coo_rows=coo.rows,
@@ -213,15 +232,32 @@ def make_operator(
             shape=csr.shape,
             old_from_new=old_from_new,
             new_from_old=new_from_old,
-        )
-    return SpmmOperator(
+        ))
+    return _place(SpmmOperator(
         binned=bin_rows(csr, ladder=ladder),
         binned_t=bin_rows(csr.transpose(), ladder=ladder),
         coo_rows=coo.rows,
         coo_cols=coo.cols,
         coo_vals=coo.vals,
         shape=csr.shape,
-    )
+    ))
+
+
+def place_operator(op: SpmmOperator, device=None) -> SpmmOperator:
+    """Move a (possibly cached, numpy-leafed) operator to device in one pass,
+    PRESERVING leaf sharing: symmetric plans alias binned_t's arrays to
+    binned's (directly or through a pickle round-trip), and a naive
+    tree-wide device_put would materialize two HBM copies. Leaves are
+    dedup'd by object identity before transfer."""
+    leaves, treedef = jax.tree_util.tree_flatten(op)
+    memo = {}
+    placed = []
+    for leaf in leaves:
+        key = id(leaf)
+        if key not in memo:
+            memo[key] = jax.device_put(leaf, device)
+        placed.append(memo[key])
+    return jax.tree_util.tree_unflatten(treedef, placed)
 
 
 def _select_impl(impl: str) -> str:

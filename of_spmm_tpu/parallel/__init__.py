@@ -1,5 +1,14 @@
 from of_spmm_tpu.parallel.partition import RowPartitionPlan, StackedBucket, partition_rows
 from of_spmm_tpu.parallel.dist_spmm import default_mesh, dist_spmm, dist_spmm_allgather
+from of_spmm_tpu.parallel.global_view import (
+    materialize_partial,
+    pad_to_multiple,
+    reshard,
+    sbp_of,
+    sbp_to_spec,
+    to_global,
+    to_local,
+)
 
 __all__ = [
     "RowPartitionPlan",
@@ -8,4 +17,11 @@ __all__ = [
     "default_mesh",
     "dist_spmm",
     "dist_spmm_allgather",
+    "to_global",
+    "pad_to_multiple",
+    "to_local",
+    "reshard",
+    "sbp_of",
+    "sbp_to_spec",
+    "materialize_partial",
 ]

@@ -15,8 +15,10 @@ no atomics, so load balance is achieved structurally at plan time:
 - the ladder is fixed, so jit recompilation is bounded to a small set of
   (width, padded-rows) shapes (SURVEY.md §7 hard part 5).
 
-All binning runs host-side in numpy at plan time; the resulting arrays are
-static-shape device buffers that flow through jit.
+All binning runs host-side in numpy at plan time and RETURNS numpy arrays —
+no device transfers happen here (plan building must not round-trip through
+a possibly remotely-attached chip). make_operator / partition_rows place
+the finished plan on device once with jax.device_put.
 """
 
 from __future__ import annotations
@@ -314,11 +316,7 @@ def bin_rows(
         # dummy padding rows keep row_id 0 with all-zero vals: harmless
         # under scatter-add accumulation.
         buckets.append(
-            EllBucket(
-                row_ids=jnp.asarray(b_rows),
-                cols=jnp.asarray(b_cols),
-                vals=jnp.asarray(b_vals),
-            )
+            EllBucket(row_ids=b_rows, cols=b_cols, vals=b_vals)
         )
         real_rids.append(rids.astype(np.int64))
         real_counts.append(total)
@@ -355,9 +353,9 @@ def _build_finish(real_rids, bucket_totals, n_rows: int) -> Finish:
     pos[s_rids[first]] = s_idx[first]
     extra = ~first
     return Finish(
-        pos=jnp.asarray(pos),
-        extra_rids=jnp.asarray(s_rids[extra].astype(np.int32)),
-        extra_idx=jnp.asarray(s_idx[extra].astype(np.int32)),
+        pos=pos,
+        extra_rids=s_rids[extra].astype(np.int32),
+        extra_idx=s_idx[extra].astype(np.int32),
     )
 
 
@@ -466,16 +464,12 @@ def bin_rows_relabeled(
         b_cols[dst_row, intra] = new_from_old[cols[src]]  # relabel columns
         b_vals[dst_row, intra] = vals[src]
         buckets.append(
-            EllBucket(
-                row_ids=jnp.asarray(b_rows),
-                cols=jnp.asarray(b_cols),
-                vals=jnp.asarray(b_vals),
-            )
+            EllBucket(row_ids=b_rows, cols=b_cols, vals=b_vals)
         )
         slice_counts.append(nf)
         e_order = np.argsort(chunk_row[sel_extra], kind="stable")
-        extras_rids.append(jnp.asarray(chunk_row[sel_extra][e_order].astype(np.int32)))
-        extras_idx.append(jnp.asarray((nf + e_order).astype(np.int32)))
+        extras_rids.append(chunk_row[sel_extra][e_order].astype(np.int32))
+        extras_idx.append((nf + e_order).astype(np.int32))
 
     finish = BucketExtras(rids=tuple(extras_rids), idx=tuple(extras_idx))
     binned = BinnedEll(
@@ -485,6 +479,4 @@ def bin_rows_relabeled(
         finish=finish,
         slice_counts=tuple(slice_counts),
     )
-    return binned, jnp.asarray(old_from_new.astype(np.int32)), jnp.asarray(
-        new_from_old.astype(np.int32)
-    )
+    return binned, old_from_new.astype(np.int32), new_from_old.astype(np.int32)

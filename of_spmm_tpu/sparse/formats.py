@@ -27,11 +27,29 @@ import numpy as np
 Shape2 = Tuple[int, int]
 
 
-def _as_index_array(x) -> jnp.ndarray:
-    x = jnp.asarray(x)
-    if not jnp.issubdtype(x.dtype, jnp.integer):
+def _as_index_array(x):
+    """Coerce to int32 WITHOUT moving host data to the device.
+
+    Plan-time code paths (graph loading, binning, partitioning) operate on
+    hundreds of MB of numpy arrays; eagerly wrapping them in jnp.asarray
+    would round-trip them through a (possibly remotely-tunneled) device on
+    every conversion. numpy leaves are valid pytree leaves and convert
+    lazily at trace time, so formats keep whatever array type they receive.
+    """
+    if isinstance(x, jnp.ndarray):
+        if not jnp.issubdtype(x.dtype, jnp.integer):
+            raise TypeError(f"index array must be integer, got {x.dtype}")
+        return x.astype(jnp.int32)
+    x = np.asarray(x)
+    if not np.issubdtype(x.dtype, np.integer):
         raise TypeError(f"index array must be integer, got {x.dtype}")
-    return x.astype(jnp.int32)
+    return x.astype(np.int32)
+
+
+def _as_val_array(x):
+    if isinstance(x, jnp.ndarray):
+        return x
+    return np.asarray(x)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -71,7 +89,7 @@ class COO:
     def from_arrays(cls, rows, cols, vals, shape: Shape2) -> "COO":
         rows = _as_index_array(rows)
         cols = _as_index_array(cols)
-        vals = jnp.asarray(vals)
+        vals = _as_val_array(vals)
         if rows.shape != cols.shape or rows.shape != vals.shape:
             raise ValueError(
                 f"rows/cols/vals must have equal shapes, got "
@@ -180,7 +198,7 @@ class CSR:
         indptr = np.zeros(n + 1, dtype=np.int32)
         np.cumsum(counts, out=indptr[1:])
         return cls(
-            indptr=jnp.asarray(indptr),
+            indptr=indptr,
             cols=s.cols,
             vals=s.vals,
             shape=coo.shape,
@@ -194,7 +212,7 @@ class CSR:
     def from_arrays(cls, indptr, cols, vals, shape: Shape2) -> "CSR":
         indptr = _as_index_array(indptr)
         cols = _as_index_array(cols)
-        vals = jnp.asarray(vals)
+        vals = _as_val_array(vals)
         if indptr.shape[0] != shape[0] + 1:
             raise ValueError(f"indptr length {indptr.shape[0]} != n_rows+1 ({shape[0] + 1})")
         return cls(indptr=indptr, cols=cols, vals=vals, shape=tuple(shape))

@@ -77,7 +77,9 @@ def test_symmetric_operator_aliases_transpose():
     dense = _random_dense(30, 30, 0.2, seed=12)
     sym = (dense + dense.T) / 2
     op = ag.make_operator(CSR.from_dense(sym))
-    assert op.binned_t is op.binned
+    # containers are rebuilt by placement; sharing survives at leaf level
+    assert op.transpose_aliased
+    assert op.binned_t.buckets[0].vals is op.binned.buckets[0].vals
 
 
 def test_gcn_with_relabeled_operator():
@@ -86,7 +88,7 @@ def test_gcn_with_relabeled_operator():
     np.fill_diagonal(dense, 0)
     ahat = normalized_adjacency(CSR.from_dense(dense))
     op = ag.make_operator(ahat)
-    assert op.relabeled and op.binned_t is op.binned  # ahat is symmetric
+    assert op.relabeled and op.transpose_aliased  # ahat is symmetric
     model = GCN(feature_dims=(12, 8, 4))
     params = model.init(jax.random.key(0))
     x = jnp.asarray(np.random.default_rng(14).standard_normal((60, 12)).astype(np.float32))
