@@ -1,0 +1,241 @@
+"""graph — compiled training graphs: the nn.Graph analog.
+
+The reference's nn.Graph traces build() into a Job proto and runs a pass
+pipeline (AMP -> ZeRO -> optimizer -> checkpointing -> pipeline buffers,
+oneflow/core/job/job_build_and_infer_ctx.cpp:908-1023) before compiling a
+Plan executed by actors. Under XLA the trace+compile is jax.jit; each pass
+maps to a functional transform applied when building the step function:
+
+- AMP (auto_mixed_precision.cpp)      -> amp.Policy casts + GradScaler
+- activation checkpointing
+  (checkpointing_pass.cpp:66-102)     -> jax.checkpoint around the loss
+- gradient accumulation
+  (job_conf.proto:240, nn/graph/graph_config.py:219)
+                                      -> lax.scan over micro-batches
+- ZeRO (optimizer_placement_optimization_pass.cpp:40-260)
+                                      -> optimizer state sharded over the
+                                         dp mesh axis via sharding
+                                         constraints (threshold-gated)
+- optimizer generation                -> optim.Optimizer update fused into
+                                         the same jit program
+
+``TrainGraph`` bundles it; ``train_graph(...)`` is the functional entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from of_spmm_tpu import amp as amp_lib
+from of_spmm_tpu.optim.optimizers import Optimizer
+
+
+@dataclasses.dataclass(frozen=True)
+class GraphConfig:
+    """Per-graph config (reference: nn/graph/graph_config.py surface)."""
+
+    amp: bool = False  # bf16 compute + fp32 master params
+    loss_scale: Optional[amp_lib.GradScaler] = None  # None = no scaling
+    grad_accumulation_steps: int = 1  # microbatch count (leading axis split)
+    checkpoint_activations: bool = False  # rematerialize fwd in bwd
+    zero_stage: int = 0  # 0 off; 1 shard optimizer state over dp axis
+    zero_min_size: int = 1024  # don't shard tiny leaves (ref threshold)
+    clip_grad_norm: Optional[float] = None
+
+
+def _zero_constraint(tree, mesh: Mesh, axis: str, min_size: int):
+    """Shard optimizer-state leaves S(0) over the dp axis where divisible
+    and big enough; replicate the rest (the reference's distributed_split
+    mode with threshold/min-size, optimizer_placement_optimization_pass)."""
+
+    def one(x):
+        if not hasattr(x, "shape") or x.ndim == 0:
+            return x
+        n = x.shape[0]
+        if x.size < min_size or n % mesh.shape[axis] != 0:
+            return x
+        spec = [None] * x.ndim
+        spec[0] = axis
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, P(*spec))
+        )
+
+    return jax.tree_util.tree_map(one, tree)
+
+
+def train_graph(
+    loss_fn: Callable,
+    optimizer: Optimizer,
+    config: GraphConfig = GraphConfig(),
+    mesh: Optional[Mesh] = None,
+    dp_axis: str = "x",
+    donate: bool = True,
+):
+    """Build a compiled train step from a loss function and an optimizer.
+
+    ``loss_fn(params, *batch) -> scalar loss``. Returns ``(init, step)``:
+    ``state = init(params)``; ``params, state, metrics = step(params,
+    state, *batch)``. With grad accumulation the leading axis of every
+    batch leaf is split into ``grad_accumulation_steps`` micro-batches.
+
+    metrics: {"loss": mean loss, "grad_norm": optional, "did_step": bool}.
+    """
+    policy = amp_lib.DEFAULT_POLICY if config.amp else amp_lib.FP32_POLICY
+    scaler = config.loss_scale
+
+    base_loss = loss_fn
+    if config.checkpoint_activations:
+        base_loss = jax.checkpoint(loss_fn)
+
+    def init(params):
+        state = {"opt": optimizer.init(params)}
+        if scaler is not None:
+            state["scaler"] = scaler.init()
+        return state
+
+    def forward_loss(params, scaler_state, *batch):
+        if config.amp:
+            params = policy.cast_to_compute(params)
+            batch = tuple(policy.cast_to_compute(b) for b in batch)
+        loss = base_loss(params, *batch)
+        if scaler is not None:
+            loss = scaler.scale(loss, scaler_state)
+        return loss
+
+    def grads_of(params, scaler_state, *batch):
+        K = config.grad_accumulation_steps
+        if K <= 1:
+            loss, grads = jax.value_and_grad(forward_loss)(
+                params, scaler_state, *batch
+            )
+            return loss, grads
+
+        def micro(i, b):
+            return jax.tree_util.tree_map(lambda x: x[i], b)
+
+        def body(carry, i):
+            acc_loss, acc_g = carry
+            mb = tuple(micro(i, b) for b in batch_r)
+            loss, g = jax.value_and_grad(forward_loss)(params, scaler_state, *mb)
+            acc_g = jax.tree_util.tree_map(jnp.add, acc_g, g)
+            return (acc_loss + loss, acc_g), None
+
+        # reshape leading axis into (K, -1) micro-batches
+        batch_r = tuple(
+            jax.tree_util.tree_map(
+                lambda x: x.reshape(K, x.shape[0] // K, *x.shape[1:]), b
+            )
+            for b in batch
+        )
+        zero_g = jax.tree_util.tree_map(jnp.zeros_like, params)
+        (loss_sum, grads), _ = jax.lax.scan(
+            body, (jnp.zeros((), jnp.float32), zero_g), jnp.arange(K)
+        )
+        inv = 1.0 / K
+        return loss_sum * inv, jax.tree_util.tree_map(lambda g: g * inv, grads)
+
+    def step(params, state, *batch):
+        scaler_state = state.get("scaler")
+        loss, grads = grads_of(params, scaler_state, *batch)
+        if config.amp:
+            grads = policy.cast_to_param(grads)
+
+        metrics = {}
+        if scaler is not None:
+            grads, new_scaler, did_step = scaler.unscale_and_update(
+                grads, scaler_state
+            )
+            loss = loss / scaler_state["scale"]
+        else:
+            new_scaler, did_step = None, jnp.asarray(True)
+
+        if config.clip_grad_norm is not None:
+            from of_spmm_tpu.optim.optimizers import clip_grad_norm
+
+            grads, gnorm = clip_grad_norm(grads, config.clip_grad_norm)
+            metrics["grad_norm"] = gnorm
+
+        opt_state = state["opt"]
+        if config.zero_stage >= 1 and mesh is not None:
+            opt_state = _zero_constraint(
+                opt_state, mesh, dp_axis, config.zero_min_size
+            )
+        new_params, new_opt = optimizer.update(grads, opt_state, params)
+        if config.zero_stage >= 1 and mesh is not None:
+            new_opt = _zero_constraint(new_opt, mesh, dp_axis, config.zero_min_size)
+
+        # skip the update when grads were non-finite (scaler semantics)
+        def pick(new, old):
+            return jax.tree_util.tree_map(
+                lambda a, b: jnp.where(did_step, a, b), new, old
+            )
+
+        new_params = pick(new_params, params)
+        new_opt = pick(new_opt, state["opt"])
+        new_state = {"opt": new_opt}
+        if new_scaler is not None:
+            new_state["scaler"] = new_scaler
+        metrics["loss"] = loss
+        metrics["did_step"] = did_step
+        return new_params, new_state, metrics
+
+    jit_kwargs = {}
+    if donate:
+        jit_kwargs["donate_argnums"] = (0, 1)
+    return init, jax.jit(step, **jit_kwargs)
+
+
+class TrainGraph:
+    """Object wrapper with the nn.Graph call shape: g = TrainGraph(...);
+    loss = g(params_in_place, *batch). Holds params/state internally
+    (the reference's graph owns its variables)."""
+
+    def __init__(
+        self,
+        loss_fn: Callable,
+        optimizer: Optimizer,
+        params,
+        config: GraphConfig = GraphConfig(),
+        mesh: Optional[Mesh] = None,
+        dp_axis: str = "x",
+    ):
+        # internal state is donated every step; keep no external aliases
+        self._init, self._step = train_graph(
+            loss_fn, optimizer, config=config, mesh=mesh, dp_axis=dp_axis
+        )
+        self.params = params
+        self.state = self._init(params)
+        self.step_count = 0
+
+    def __call__(self, *batch):
+        self.params, self.state, metrics = self._step(
+            self.params, self.state, *batch
+        )
+        self.step_count += 1
+        return metrics
+
+
+class EvalGraph:
+    """Compiled inference graph (nn.Graph eval shape)."""
+
+    def __init__(self, apply_fn: Callable, config: GraphConfig = GraphConfig()):
+        policy = amp_lib.DEFAULT_POLICY if config.amp else amp_lib.FP32_POLICY
+
+        def fwd(params, *args):
+            if config.amp:
+                params = policy.cast_to_compute(params)
+                args = tuple(policy.cast_to_compute(a) for a in args)
+            out = apply_fn(params, *args)
+            return policy.cast_output(out) if config.amp else out
+
+        self._fwd = jax.jit(fwd)
+
+    def __call__(self, params, *args):
+        return self._fwd(params, *args)
