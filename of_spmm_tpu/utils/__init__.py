@@ -7,6 +7,7 @@ from of_spmm_tpu.utils.roofline import (
     time_fn,
 )
 from of_spmm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from of_spmm_tpu.utils import profiler
 
 __all__ = [
     "FLAGS",
@@ -18,5 +19,6 @@ __all__ = [
     "spmm_report",
     "time_fn",
     "load_checkpoint",
+    "profiler",
     "save_checkpoint",
 ]

@@ -1,0 +1,134 @@
+"""Datasets/DataLoader, distributed env accessors, profiler, consistency."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from of_spmm_tpu.data.dataset import (
+    DataLoader,
+    ShardedDataset,
+    TensorDataset,
+    TokenDataset,
+    shard_dataset,
+)
+
+
+def test_tensor_dataset_and_loader_batching():
+    x = np.arange(20).reshape(10, 2).astype(np.float32)
+    y = np.arange(10).astype(np.int32)
+    ds = TensorDataset(x, y)
+    assert len(ds) == 10
+    dl = DataLoader(ds, batch_size=4, prefetch=0)
+    batches = list(dl)
+    assert len(batches) == 3  # 4+4+2
+    bx, by = batches[0]
+    assert bx.shape == (4, 2) and by.shape == (4,)
+    np.testing.assert_array_equal(batches[2][1], [8, 9])
+    dl = DataLoader(ds, batch_size=4, drop_last=True, prefetch=0)
+    assert len(list(dl)) == 2
+
+
+def test_loader_shuffle_deterministic_and_epoch_varies():
+    ds = TensorDataset(np.arange(32))
+    dl = DataLoader(ds, batch_size=32, shuffle=True, seed=7, prefetch=0)
+    a = list(dl)[0][0]
+    b = list(dl)[0][0]
+    np.testing.assert_array_equal(a, b)  # same epoch -> same order
+    dl.set_epoch(1)
+    c = list(dl)[0][0]
+    assert not np.array_equal(a, c)  # different epoch -> reshuffled
+    np.testing.assert_array_equal(np.sort(c), np.arange(32))
+
+
+def test_loader_prefetch_matches_sync():
+    ds = TensorDataset(np.arange(50), np.arange(50) * 2)
+    sync = [b for b in DataLoader(ds, batch_size=8, prefetch=0)]
+    pre = [b for b in DataLoader(ds, batch_size=8, prefetch=3)]
+    for (a1, a2), (b1, b2) in zip(sync, pre):
+        np.testing.assert_array_equal(a1, b1)
+        np.testing.assert_array_equal(a2, b2)
+
+
+def test_token_dataset_windows(tmp_path):
+    tokens = np.arange(100, dtype=np.int32)
+    p = str(tmp_path / "tokens.npy")
+    np.save(p, tokens)
+    ds = TokenDataset(p, seq_len=10)
+    inp, lbl = ds[0]
+    np.testing.assert_array_equal(inp, np.arange(10))
+    np.testing.assert_array_equal(lbl, np.arange(1, 11))
+    inp, lbl = ds[1]
+    np.testing.assert_array_equal(inp, np.arange(10, 20))
+    assert len(ds) == 9  # (100 - 11) // 10 + 1
+    with pytest.raises(IndexError):
+        ds[9]
+
+
+def test_token_dataset_raw_binary(tmp_path):
+    tokens = np.arange(64, dtype=np.int32)
+    p = str(tmp_path / "tokens.bin")
+    tokens.tofile(p)
+    ds = TokenDataset(p, seq_len=8, stride=4)
+    inp, lbl = ds[1]
+    np.testing.assert_array_equal(inp, np.arange(4, 12))
+
+
+def test_sharded_dataset_covers_all_disjoint():
+    base = TensorDataset(np.arange(23))
+    seen = []
+    for r in range(4):
+        sh = shard_dataset(base, r, 4)
+        seen += [int(sh[i][0]) for i in range(len(sh))]
+    assert sorted(seen) == list(range(23))
+    with pytest.raises(ValueError):
+        ShardedDataset(base, 4, 4)
+
+
+def test_distributed_env_accessors():
+    from of_spmm_tpu import distributed as dist
+
+    assert dist.get_rank() == 0
+    assert dist.get_world_size() == 1
+    assert not dist.is_multi_client()
+    dist.barrier()  # no-op single process
+    dist.initialize()  # no-op without env vars
+
+
+def test_distributed_partial_env_rejected(monkeypatch):
+    from of_spmm_tpu import distributed as dist
+
+    monkeypatch.setenv("MASTER_ADDR", "127.0.0.1")
+    monkeypatch.delenv("MASTER_PORT", raising=False)
+    monkeypatch.setenv("WORLD_SIZE", "2")
+    monkeypatch.setenv("RANK", "0")
+    with pytest.raises(RuntimeError, match="MASTER_PORT"):
+        dist.env_spec()
+
+
+def test_profiler_ranges_and_table():
+    from of_spmm_tpu.utils import profiler
+
+    with profiler.profile() as prof:
+        with profiler.record("outer"):
+            with profiler.record("inner"):
+                sum(range(1000))
+        with profiler.record("outer"):
+            pass
+    names = [e.name for e in prof.events]
+    assert names.count("outer") == 2 and names.count("inner") == 1
+    table = prof.key_averages()
+    assert "outer" in table and "avg ms" in table
+
+
+def test_consistency_fingerprint():
+    from of_spmm_tpu.parallel.consistency import check_consistent, plan_fingerprint
+
+    t1 = {"a": np.zeros((3, 2)), "b": [np.ones(4, np.int32)]}
+    t2 = {"a": np.zeros((3, 2)), "b": [np.ones(4, np.int32)]}
+    t3 = {"a": np.zeros((3, 3)), "b": [np.ones(4, np.int32)]}
+    assert plan_fingerprint(t1) == plan_fingerprint(t2)
+    assert plan_fingerprint(t1) != plan_fingerprint(t3)
+    fp = check_consistent(t1)  # single-process: returns fingerprint
+    assert isinstance(fp, str) and len(fp) == 64
