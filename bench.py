@@ -46,16 +46,23 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
         return make_operator(csr, place=False), csr.nnz, csr.shape
 
-    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v1", build)
+    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v3", build)
     log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({time.time()-t0:.1f}s)")
     t0 = time.time()
     op = place_operator(op)
     eff = op.binned.padding_efficiency(nnz)
+    from of_spmm_tpu.sparse.tiled import TieredEll
+
+    if isinstance(op.binned, TieredEll):
+        layout = f"tiered x{len(op.binned.tiers)}"
+        widths = sorted({b.width for t in op.binned.tiers for b in t.buckets})
+    else:
+        layout = "binned"
+        widths = [b.width for b in op.binned.buckets]
     log(
-        f"[{name}] placed: widths="
-        + str([b.width for b in op.binned.buckets])
-        + f" pad_eff={eff:.3f} relabeled={op.relabeled}"
-        + f" sym_alias={op.transpose_aliased} ({time.time()-t0:.1f}s)"
+        f"[{name}] placed: {layout} widths={widths}"
+        f" pad_eff={eff:.3f} relabeled={op.relabeled}"
+        f" sym_alias={op.transpose_aliased} ({time.time()-t0:.1f}s)"
     )
 
     rng = np.random.default_rng(0)
@@ -68,16 +75,19 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     for impl_name in impls:
         try:
             def mk(k, impl=impl_name):
-                def f(xx):
+                # op passed as a pytree ARGUMENT: closing over it would bake
+                # the plan arrays into the HLO as giant literals (the
+                # tunneled compile service rejects >100MB programs).
+                def f(o, xx):
                     def body(i, carry):
                         s, a = carry
-                        y = spmm_internal(op, a, impl=impl)
+                        y = spmm_internal(o, a, impl=impl)
                         return (s + y.ravel()[0] * 1e-30, y)
                     return jax.lax.fori_loop(0, k, body, (0.0, xx))[1]
                 return jax.jit(f)
 
             secs = time_chained(
-                mk, x_int, k1=1, iters=iters,
+                mk, op, x_int, k1=1, iters=iters,
                 est_iter_s=traffic.speed_of_light_s(),
             )
             rep = spmm_report(secs, traffic)

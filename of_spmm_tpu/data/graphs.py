@@ -49,33 +49,113 @@ NAMED_CONFIGS = {
 }
 
 
+def _powerlaw_degrees(n: int, e: int, dmax: int, rng) -> np.ndarray:
+    """Degree sequence: deg_i ∝ (i + q)^-s truncated at dmax, scaled by
+    bisection so sum == e (Zipf–Mandelbrot, the standard fit for social /
+    co-purchase graphs: heavy head, long light tail, bounded hub degree)."""
+    i = np.arange(n, dtype=np.float64)
+    s, q = 0.85, max(n * 1e-4, 10.0)
+    base = (i + q) ** -s
+    lo, hi = 1.0, 1e18
+    for _ in range(80):
+        mid = np.sqrt(lo * hi)
+        tot = np.minimum(base * mid, dmax).sum()
+        if tot < e:
+            lo = mid
+        else:
+            hi = mid
+    deg = np.minimum(base * lo, dmax)
+    # round stochastically to integers summing ~e, min degree 1
+    deg_int = np.floor(deg).astype(np.int64)
+    frac = deg - deg_int
+    deg_int += (rng.random(n) < frac).astype(np.int64)
+    deg_int = np.maximum(deg_int, 1)
+    # trim/pad to exactly e by adjusting the light tail
+    diff = int(deg_int.sum() - e)
+    if diff > 0:
+        adjustable = np.nonzero(deg_int > 1)[0]
+        take = rng.choice(adjustable, size=min(diff, adjustable.size), replace=False)
+        deg_int[take] -= 1
+    elif diff < 0:
+        take = rng.choice(n, size=-diff, replace=True)
+        np.add.at(deg_int, take, 1)
+    return deg_int
+
+
 def synthetic_edges(cfg: GraphConfig, seed: int = 0) -> Tuple[np.ndarray, np.ndarray]:
     """Directed edge list (src, dst) matching cfg's size and skew.
 
-    Power-law graphs use a Zipf-ish out-degree assignment (alpha ~ 1.6,
-    matching social/co-purchase graph shape); uniform graphs use
-    Erdos-Renyi sampling. Self-duplicates are allowed (they merge in CSR
-    construction only if exact duplicates; duplicates are removed).
+    Power-law graphs use a configuration-model construction: an explicit
+    Zipf–Mandelbrot in-degree sequence (avg/max calibrated to the real
+    dataset family: ogbn-products max-degree ~17k on 2.4M nodes) plus
+    community structure — nodes are grouped into power-law-sized
+    communities with ``intra_frac`` of each node's edges drawn inside its
+    own community (real co-purchase/social graphs are strongly
+    assortative; community-contiguous ids give plans column locality the
+    same way a clustering pass would on the real dataset). Uniform graphs
+    are Erdos–Renyi. Exact edge counts; duplicates removed and resampled
+    cheaply (collision rate is low because hub degree << n).
     """
     rng = np.random.default_rng(seed)
     n, e = cfg.n_nodes, cfg.n_edges
-    if cfg.power_law:
-        # sample destination popularity from a zipf tail, then attach
-        # uniformly-random sources: gives heavy in-degree skew.
-        ranks = rng.zipf(1.6, size=int(e * 1.05)).astype(np.int64)
-        dst = (ranks - 1) % n
-        # permute node ids so hot nodes are spread across the id space
-        perm = rng.permutation(n).astype(np.int64)
-        dst = perm[dst]
-        src = rng.integers(0, n, size=dst.shape[0], dtype=np.int64)
-    else:
+    if not cfg.power_law:
         src = rng.integers(0, n, size=int(e * 1.05), dtype=np.int64)
         dst = rng.integers(0, n, size=int(e * 1.05), dtype=np.int64)
-    # dedup (keep first e unique pairs)
+        key = src * n + dst
+        _, idx = np.unique(key, return_index=True)
+        idx = np.sort(idx)[:e]
+        if idx.shape[0] < e:  # tiny graphs: accept slightly fewer
+            pass
+        return src[idx], dst[idx]
+
+    dmax = max(64, min(n // 8, int(8 * e / max(np.sqrt(n), 1))))
+    deg = _powerlaw_degrees(n, e, dmax, rng)  # in-degree per node
+    dst = np.repeat(np.arange(n, dtype=np.int64), deg)
+
+    # communities: power-law sizes, contiguous id ranges
+    intra_frac = 0.75
+    avg_comm = max(int(np.sqrt(n)), 64)
+    n_comm = max(n // avg_comm, 1)
+    sizes = _powerlaw_degrees(n_comm, n, max(4 * avg_comm, 256), rng)
+    bounds = np.zeros(n_comm + 1, dtype=np.int64)
+    np.cumsum(sizes, out=bounds[1:])
+    bounds = np.minimum(bounds, n)
+    bounds[-1] = n
+    comm_of = np.searchsorted(bounds, np.arange(n), side="right") - 1
+    comm_lo = bounds[comm_of]
+    comm_sz = np.maximum(bounds[comm_of + 1] - comm_lo, 1)
+
+    m = dst.shape[0]
+    intra = rng.random(m) < intra_frac
+    src = np.empty(m, dtype=np.int64)
+    # intra-community: uniform within the dst's community
+    src[intra] = comm_lo[dst[intra]] + rng.integers(
+        0, 1 << 62, size=int(intra.sum())
+    ) % comm_sz[dst[intra]]
+    # inter-community: degree-biased global endpoints (preferential)
+    n_inter = m - int(intra.sum())
+    src[~intra] = dst[rng.integers(0, m, size=n_inter)]
+
+    # drop self loops and duplicates; top up with uniform edges if short
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
     key = src * n + dst
     _, idx = np.unique(key, return_index=True)
-    idx = np.sort(idx)[:e]
-    return src[idx], dst[idx]
+    src, dst = src[idx], dst[idx]
+    short = e - src.shape[0]
+    while short > 0:
+        s2 = rng.integers(0, n, size=int(short * 1.5) + 16, dtype=np.int64)
+        d2 = rng.integers(0, n, size=s2.shape[0], dtype=np.int64)
+        ok = s2 != d2
+        s2, d2 = s2[ok], d2[ok]
+        src = np.concatenate([src, s2])
+        dst = np.concatenate([dst, d2])
+        key = src * n + dst
+        _, idx = np.unique(key, return_index=True)
+        src, dst = src[idx], dst[idx]
+        short = e - src.shape[0]
+    order = rng.permutation(src.shape[0])[:e]
+    return src[order], dst[order]
 
 
 def load_graph(name: str, seed: int = 0, symmetrize: bool = False) -> Tuple[CSR, GraphConfig]:
@@ -100,7 +180,13 @@ def load_graph(name: str, seed: int = 0, symmetrize: bool = False) -> Tuple[CSR,
             edges = np.load(path)
             src, dst = edges[0], edges[1]
         else:
-            src, dst = synthetic_edges(cfg, seed=seed)
+            # published edge counts for these datasets already count both
+            # directions; generate half and let symmetrization restore the
+            # advertised nnz (up to reciprocal-edge overlap).
+            gen_cfg = cfg
+            if symmetrize:
+                gen_cfg = dataclasses.replace(cfg, n_edges=cfg.n_edges // 2)
+            src, dst = synthetic_edges(gen_cfg, seed=seed)
         if symmetrize:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
             key = src.astype(np.int64) * cfg.n_nodes + dst
@@ -111,7 +197,7 @@ def load_graph(name: str, seed: int = 0, symmetrize: bool = False) -> Tuple[CSR,
     if cfg.n_edges >= 10_000_000:  # big graphs: cache the built CSR on disk
         from of_spmm_tpu.data.cache import cached
 
-        csr = cached("csr", f"{name}|seed{seed}|sym{int(symmetrize)}|v1", build)
+        csr = cached("csr", f"{name}|seed{seed}|sym{int(symmetrize)}|v3", build)
     else:
         csr = build()
     return csr, cfg

@@ -129,9 +129,9 @@ class SpmmOperator:
         leaf level even when the containers were rebuilt."""
         if self.binned_t is self.binned:
             return True
-        if not self.binned.buckets or not self.binned_t.buckets:
-            return False
-        return self.binned_t.buckets[0].vals is self.binned.buckets[0].vals
+        a = jax.tree_util.tree_leaves(self.binned)
+        b = jax.tree_util.tree_leaves(self.binned_t)
+        return bool(a) and len(a) == len(b) and a[0] is b[0]
 
     def to_internal(self, a: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
         """Map node-space data into the operator's internal row order."""
@@ -178,8 +178,16 @@ def make_operator(
     ladder="auto",
     relabel: Optional[bool] = None,
     place: bool = True,
+    layout: str = "auto",
+    tier_size: Optional[int] = None,
 ) -> SpmmOperator:
     """Build the plan: bin A and A^T (host-side, once per graph).
+
+    ``layout``: "binned" (row-binned ELL, degree-relabeled slice finish —
+    best for graphs whose X fits the fast gather path), "tiered"
+    (column-tiered ELL, sparse/tiled.py — best when n_cols exceeds the
+    device's fast-gather table size, measured 6x on v5e at 2.4M cols), or
+    "auto" (tiered iff n_cols > tier_size).
 
     With ``place`` (default) the finished plan is moved to device in one
     jax.device_put; place=False keeps numpy arrays (for disk caching —
@@ -197,13 +205,36 @@ def make_operator(
 
     csr = CSR.from_coo(a) if isinstance(a, COO) else a
     coo = csr.to_coo()
+
+    def _place(op):
+        return place_operator(op) if place else op
+
+    if layout not in ("auto", "binned", "tiered"):
+        raise ValueError(f"layout must be auto|binned|tiered, got {layout!r}")
+    from of_spmm_tpu.sparse.tiled import DEFAULT_TIER_SIZE, bin_rows_tiered
+
+    ts = tier_size or DEFAULT_TIER_SIZE
+    if layout == "auto":
+        layout = "tiered" if csr.shape[1] > ts else "binned"
+    if layout == "tiered":
+        tiled = bin_rows_tiered(csr, tier_size=ts, ladder=ladder)
+        if csr.shape[0] == csr.shape[1] and _is_symmetric(csr):
+            tiled_t = tiled
+        else:
+            tiled_t = bin_rows_tiered(csr.transpose(), tier_size=ts, ladder=ladder)
+        return _place(SpmmOperator(
+            binned=tiled,
+            binned_t=tiled_t,
+            coo_rows=coo.rows,
+            coo_cols=coo.cols,
+            coo_vals=coo.vals,
+            shape=csr.shape,
+        ))
+
     if relabel is None:
         relabel = csr.shape[0] == csr.shape[1]
     if relabel and csr.shape[0] != csr.shape[1]:
         raise ValueError("relabel=True requires a square matrix")
-    def _place(op):
-        return place_operator(op) if place else op
-
     if relabel:
         binned, old_from_new, new_from_old = bin_rows_relabeled(csr, ladder=ladder)
         if _is_symmetric(csr):
@@ -268,7 +299,13 @@ def _select_impl(impl: str) -> str:
     return impl
 
 
-def _spmm_impl(binned: BinnedEll, x: jnp.ndarray, impl: str) -> jnp.ndarray:
+def _spmm_impl(binned, x: jnp.ndarray, impl: str) -> jnp.ndarray:
+    from of_spmm_tpu.sparse.tiled import TieredEll
+
+    if isinstance(binned, TieredEll):
+        # tiered layout has one compute path (the tiering IS the kernel
+        # strategy); "pallas"/"xla" both route here.
+        return ref.spmm_tiered_xla(binned, x)
     if impl == "pallas":
         return spmm_pallas(binned, x)
     if impl == "xla":

@@ -241,6 +241,46 @@ def combine_contribs(binned: BinnedEll, contribs, acc) -> jnp.ndarray:
     return out
 
 
+def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
+    """Column-tiered SpMM (see sparse/tiled.py): per tier, slice X to a
+    fast-gather-path table (<= 131072 rows on v5e sustains ~400 Mrows/s vs
+    ~63 Mrows/s for multi-megarow tables), gather + weighted-reduce each
+    width bucket, then assemble rows with the plan-time Finish permutation.
+
+    The per-bucket reduce is an explicit multiply + sum (VPU loop fusion);
+    an einsum would lower to a batched 1xK matvec the MXU handles poorly.
+    """
+    from of_spmm_tpu.sparse.tiled import TieredEll
+
+    d = x.shape[1]
+    if not tiled.tiers:
+        return jnp.zeros((tiled.n_rows, d), x.dtype)
+    acc = _acc_dtype(
+        jnp.result_type(x.dtype, *(b.vals.dtype for t in tiled.tiers for b in t.buckets))
+    )
+    ts = tiled.tier_size
+    n_pad = tiled.n_cols if tiled.n_cols % ts == 0 else (tiled.n_cols // ts + 1) * ts
+    xa = x.astype(acc)
+    if n_pad != x.shape[0]:
+        xa = jnp.pad(xa, ((0, n_pad - x.shape[0]), (0, 0)))
+
+    contribs = []
+    for t in tiled.tiers:
+        xt = jax.lax.slice_in_dim(xa, t.tier * ts, (t.tier + 1) * ts, axis=0)
+        for b in t.buckets:
+            g = jnp.take(xt, b.cols, axis=0)  # (r, K, d) — fast-path table
+            contribs.append((b.vals.astype(acc)[:, :, None] * g).sum(axis=1))
+
+    cat = contribs[0] if len(contribs) == 1 else jnp.concatenate(contribs, axis=0)
+    fin = tiled.finish
+    out = gather(cat, fin.pos)
+    if fin.extra_rids.shape[0]:
+        out = out.at[fin.extra_rids].add(
+            jnp.take(cat, fin.extra_idx, axis=0), indices_are_sorted=True
+        )
+    return out.astype(x.dtype)
+
+
 # ---------------------------------------------------------------------------
 # SpGEMM — host-side expand/sort/reduce (plan-time op).
 # ---------------------------------------------------------------------------

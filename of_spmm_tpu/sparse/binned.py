@@ -188,7 +188,13 @@ def optimal_ladder(
     rem = rem[rem > 0]
     hist = np.bincount(rem, minlength=max_width + 1).astype(np.int64)
     hist[max_width] += n_full
+    return ladder_from_hist(hist, max_buckets=max_buckets, max_width=max_width)
 
+
+def ladder_from_hist(
+    hist: np.ndarray, max_buckets: int = 10, max_width: int = 256
+) -> Tuple[int, ...]:
+    """Breakpoint DP over a chunk-length histogram (see optimal_ladder)."""
     W = max_width
     # cnt[w] rows with chunk length exactly w (1..W)
     # cost(a, b) = padded slots if widths (a, b] all map to width b
