@@ -1,0 +1,155 @@
+// Native plan-builder kernels — the host-side heavy lifting of plan
+// construction (CSR build, per-row column sort, symmetrize+dedup) in
+// parallel C++. The TPU-native analog of the reference's C++ graph/plan
+// machinery (oneflow/core/graph compilation, oneflow/user/data readers):
+// device compute is XLA's job, but 10^8-edge plan building is host work
+// the Python layer should not do with O(n log n) single-threaded sorts.
+//
+// Exposed via ctypes (see of_spmm_tpu/native.py); built with
+// g++ -O3 -march=native -fopenmp (see csrc/build.py). No pybind11 — the
+// interfaces are flat arrays, exactly what numpy hands over.
+
+#include <algorithm>
+#include <atomic>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+#if defined(_OPENMP)
+#include <omp.h>
+#else
+static int omp_get_max_threads() { return 1; }
+static int omp_get_thread_num() { return 0; }
+#endif
+
+extern "C" {
+
+// COO (rows, cols, vals) -> CSR (indptr, sorted cols+vals per row).
+// rows/cols: int32, vals: float32. indptr must hold n+1 int64.
+// out_cols/out_vals are nnz-sized. Returns 0 on success.
+int coo_to_csr(int64_t n_rows, int64_t nnz, const int32_t* rows,
+               const int32_t* cols, const float* vals, int64_t* indptr,
+               int32_t* out_cols, float* out_vals) {
+  // 1) histogram rows (parallel, per-thread local counts)
+  std::memset(indptr, 0, sizeof(int64_t) * (n_rows + 1));
+  int nt = omp_get_max_threads();
+  std::vector<std::vector<int64_t>> local(nt);
+#pragma omp parallel
+  {
+    int t = omp_get_thread_num();
+    local[t].assign(n_rows, 0);
+    auto& h = local[t];
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < nnz; ++i) h[rows[i]]++;
+  }
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t s = 0;
+    for (int t = 0; t < nt; ++t) s += local[t][r];
+    indptr[r + 1] = s;
+  }
+  for (int64_t r = 0; r < n_rows; ++r) indptr[r + 1] += indptr[r];
+
+  // 2) scatter into row slots (per-thread cursors from exclusive scan of
+  //    local histograms so threads write disjoint ranges per row)
+  std::vector<std::vector<int64_t>> cursor(nt);
+#pragma omp parallel for schedule(static)
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t base = indptr[r];
+    for (int t = 0; t < nt; ++t) {
+      int64_t c = local[t][r];
+      local[t][r] = base;  // reuse as cursor
+      base += c;
+    }
+  }
+#pragma omp parallel
+  {
+    int t = omp_get_thread_num();
+    auto& cur = local[t];
+#pragma omp for schedule(static)
+    for (int64_t i = 0; i < nnz; ++i) {
+      int64_t p = cur[rows[i]]++;
+      out_cols[p] = cols[i];
+      out_vals[p] = vals ? vals[i] : 1.0f;
+    }
+  }
+
+  // 3) sort within each row by column (parallel over rows)
+#pragma omp parallel for schedule(dynamic, 1024)
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t lo = indptr[r], hi = indptr[r + 1];
+    int64_t len = hi - lo;
+    if (len <= 1) continue;
+    // small rows: insertion-ish via index sort on pairs
+    std::vector<std::pair<int32_t, float>> buf(len);
+    for (int64_t i = 0; i < len; ++i)
+      buf[i] = {out_cols[lo + i], out_vals[lo + i]};
+    // stable: duplicate (row,col) entries keep input order (matches
+    // numpy lexsort, which plan determinism tests rely on)
+    std::stable_sort(buf.begin(), buf.end(),
+              [](const auto& a, const auto& b) { return a.first < b.first; });
+    for (int64_t i = 0; i < len; ++i) {
+      out_cols[lo + i] = buf[i].first;
+      out_vals[lo + i] = buf[i].second;
+    }
+  }
+  return 0;
+}
+
+// Symmetrize + dedup a directed edge list: out = unique(E ∪ E^T), with
+// self-loops preserved as given (deduped). Two-phase: call with
+// out_src == nullptr to get the output count in *out_count, then call
+// again with allocated buffers. Deterministic output order (sorted by
+// (src, dst)). Returns 0 on success.
+int symmetrize_dedup(int64_t n, int64_t nnz, const int32_t* src,
+                     const int32_t* dst, int32_t* out_src, int32_t* out_dst,
+                     int64_t* out_count) {
+  // build keys for both directions
+  std::vector<int64_t> keys(2 * nnz);
+#pragma omp parallel for schedule(static)
+  for (int64_t i = 0; i < nnz; ++i) {
+    keys[i] = (int64_t)src[i] * n + dst[i];
+    keys[nnz + i] = (int64_t)dst[i] * n + src[i];
+  }
+#if defined(_OPENMP) && defined(__GLIBCXX__)
+  std::sort(keys.begin(), keys.end());
+#else
+  std::sort(keys.begin(), keys.end());
+#endif
+  int64_t m = keys.empty() ? 0 : 1;
+  for (int64_t i = 1; i < (int64_t)keys.size(); ++i)
+    if (keys[i] != keys[i - 1]) ++m;
+  *out_count = m;
+  if (!out_src) return 0;
+  int64_t w = 0;
+  for (int64_t i = 0; i < (int64_t)keys.size(); ++i) {
+    if (i == 0 || keys[i] != keys[i - 1]) {
+      out_src[w] = (int32_t)(keys[i] / n);
+      out_dst[w] = (int32_t)(keys[i] % n);
+      ++w;
+    }
+  }
+  return 0;
+}
+
+// Transpose a CSR pattern: (indptr, cols, vals) of A -> CSR of A^T.
+// out_indptr: (n_cols+1) int64; out_cols/out_vals: nnz.
+int csr_transpose(int64_t n_rows, int64_t n_cols, int64_t nnz,
+                  const int64_t* indptr, const int32_t* cols,
+                  const float* vals, int64_t* out_indptr, int32_t* out_cols,
+                  float* out_vals) {
+  std::memset(out_indptr, 0, sizeof(int64_t) * (n_cols + 1));
+  for (int64_t i = 0; i < nnz; ++i) out_indptr[cols[i] + 1]++;
+  for (int64_t c = 0; c < n_cols; ++c) out_indptr[c + 1] += out_indptr[c];
+  std::vector<int64_t> cur(out_indptr, out_indptr + n_cols);
+  for (int64_t r = 0; r < n_rows; ++r) {
+    for (int64_t i = indptr[r]; i < indptr[r + 1]; ++i) {
+      int64_t p = cur[cols[i]]++;
+      out_cols[p] = (int32_t)r;  // ascending rows per column by construction
+      out_vals[p] = vals ? vals[i] : 1.0f;
+    }
+  }
+  return 0;
+}
+
+}  // extern "C"

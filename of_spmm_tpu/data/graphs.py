@@ -188,10 +188,9 @@ def load_graph(name: str, seed: int = 0, symmetrize: bool = False) -> Tuple[CSR,
                 gen_cfg = dataclasses.replace(cfg, n_edges=cfg.n_edges // 2)
             src, dst = synthetic_edges(gen_cfg, seed=seed)
         if symmetrize:
-            src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
-            key = src.astype(np.int64) * cfg.n_nodes + dst
-            _, idx = np.unique(key, return_index=True)
-            src, dst = src[idx], dst[idx]
+            from of_spmm_tpu import native
+
+            src, dst = native.symmetrize_dedup(src, dst, cfg.n_nodes)
         return CSR.from_coo(COO.from_edges(src, dst, cfg.n_nodes))
 
     if cfg.n_edges >= 10_000_000:  # big graphs: cache the built CSR on disk
