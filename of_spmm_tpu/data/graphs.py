@@ -132,9 +132,23 @@ def synthetic_edges(cfg: GraphConfig, seed: int = 0) -> Tuple[np.ndarray, np.nda
     src[intra] = comm_lo[dst[intra]] + rng.integers(
         0, 1 << 62, size=int(intra.sum())
     ) % comm_sz[dst[intra]]
-    # inter-community: degree-biased global endpoints (preferential)
-    n_inter = m - int(intra.sum())
-    src[~intra] = dst[rng.integers(0, m, size=n_inter)]
+    # inter-community: hierarchical locality — the target community sits a
+    # power-law DISTANCE away in community id space (category hierarchies
+    # make most cross-community edges land in sibling communities; this is
+    # also what a METIS/RCM pass recovers on the real datasets). A small
+    # tail remains fully global (degree-biased, preferential attachment).
+    inter_idx = np.nonzero(~intra)[0]
+    n_inter = inter_idx.shape[0]
+    far = rng.random(n_inter) < 0.15  # global tail
+    near = inter_idx[~far]
+    dist = rng.zipf(1.7, size=near.shape[0]).astype(np.int64)
+    sign = rng.integers(0, 2, size=near.shape[0]) * 2 - 1
+    tgt_comm = (comm_of[dst[near]] + sign * dist) % n_comm
+    t_lo = bounds[tgt_comm]
+    t_sz = np.maximum(bounds[tgt_comm + 1] - t_lo, 1)
+    src[near] = t_lo + rng.integers(0, 1 << 62, size=near.shape[0]) % t_sz
+    far_idx = inter_idx[far]
+    src[far_idx] = dst[rng.integers(0, m, size=far_idx.shape[0])]
 
     # drop self loops and duplicates; top up with uniform edges if short
     keep = src != dst

@@ -266,7 +266,10 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
 
     contribs = []
     for t in tiled.tiers:
-        xt = jax.lax.slice_in_dim(xa, t.tier * ts, (t.tier + 1) * ts, axis=0)
+        if t.tier < 0:
+            xt = xa  # cold chunks: full-table gather (coalesced stray nnz)
+        else:
+            xt = jax.lax.slice_in_dim(xa, t.tier * ts, (t.tier + 1) * ts, axis=0)
         for b in t.buckets:
             g = jnp.take(xt, b.cols, axis=0)  # (r, K, d) — fast-path table
             contribs.append((b.vals.astype(acc)[:, :, None] * g).sum(axis=1))

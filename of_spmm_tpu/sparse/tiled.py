@@ -114,8 +114,19 @@ def bin_rows_tiered(
     sublanes: int = SUBLANES,
     max_buckets: int = 8,
     max_width: int = 256,
+    min_run: int = 4,
 ) -> TieredEll:
-    """Build the tiered plan (host-side numpy; see module docstring)."""
+    """Build the tiered plan (host-side numpy; see module docstring).
+
+    ``min_run``: runs shorter than this (a row's stray nonzeros in a
+    foreign tier — the anti-locality tail every real graph has) are
+    diverted to per-row COLD chunks that gather from the full (slow-path)
+    table under sentinel tier -1. Without coalescing, stray single-nnz
+    runs explode the ELL row count (fragmentation measured 46M ELL rows on
+    a 123M-nnz graph = 24GB of partials — OOM), and each fragment also
+    costs a finish scatter. Cold gathers trade ~6x lower gather rate for
+    zero fragmentation — the right trade below ~min_run nnz.
+    """
     n, m = csr.shape
     indptr = np.asarray(csr.indptr).astype(np.int64)
     cols = np.asarray(csr.cols).astype(np.int64)
@@ -139,19 +150,65 @@ def bin_rows_tiered(
     else:
         run_start = run_len = run_row = run_tier = np.zeros(0, np.int64)
 
+    # --- divert short runs to per-row cold chunks (tier -1) --------------
+    if min_run > 1 and n_tiers > 1 and run_start.shape[0]:
+        cold_run = run_len < min_run
+        if cold_run.any():
+            # mark cold nnz, regroup them per row (CSR order preserved)
+            cold_nnz = np.zeros(nnz, dtype=bool)
+            c_starts = run_start[cold_run]
+            c_lens = run_len[cold_run]
+            pos = np.repeat(c_starts, c_lens) + (
+                np.arange(int(c_lens.sum()), dtype=np.int64)
+                - np.repeat(np.cumsum(np.concatenate([[0], c_lens[:-1]])), c_lens)
+            )
+            cold_nnz[pos] = True
+            # hot runs keep their (start, len, row, tier)
+            run_start = run_start[~cold_run]
+            run_len = run_len[~cold_run]
+            run_row = run_row[~cold_run]
+            run_tier = run_tier[~cold_run]
+            # cold runs: one run per row over the cold subset, expressed in
+            # a compacted nnz space (gather indices stay original cols)
+            cold_idx = np.nonzero(cold_nnz)[0]
+            cold_rows = row_of[cold_idx]
+            boundary = np.ones(cold_idx.shape[0], dtype=bool)
+            boundary[1:] = cold_rows[1:] != cold_rows[:-1]
+            c_run_start_c = np.nonzero(boundary)[0]  # in cold-compacted space
+            c_run_end_c = np.concatenate([c_run_start_c[1:], [cold_idx.shape[0]]])
+            c_run_len = c_run_end_c - c_run_start_c
+            c_run_row = cold_rows[c_run_start_c]
+        else:
+            cold_idx = np.zeros(0, np.int64)
+            c_run_start_c = c_run_len = c_run_row = np.zeros(0, np.int64)
+    else:
+        cold_idx = np.zeros(0, np.int64)
+        c_run_start_c = c_run_len = c_run_row = np.zeros(0, np.int64)
+
     # --- chunk runs to <= max_width (same as bin_rows row splitting) -----
-    n_chunks = -(-run_len // max_width)
-    chunk_run = np.repeat(np.arange(run_start.shape[0], dtype=np.int64), n_chunks)
-    total_chunks = chunk_run.shape[0]
-    first_of_run = np.zeros(run_start.shape[0] + 1, dtype=np.int64)
-    np.cumsum(n_chunks, out=first_of_run[1:])
-    chunk_in_run = np.arange(total_chunks, dtype=np.int64) - np.repeat(
-        first_of_run[:-1], n_chunks
+    def chunkify(starts, lens, rows, tiers):
+        n_chunks = -(-lens // max_width)
+        chunk_run = np.repeat(np.arange(starts.shape[0], dtype=np.int64), n_chunks)
+        total = chunk_run.shape[0]
+        first = np.zeros(starts.shape[0] + 1, dtype=np.int64)
+        np.cumsum(n_chunks, out=first[1:])
+        in_run = np.arange(total, dtype=np.int64) - np.repeat(first[:-1], n_chunks)
+        c_start = starts[chunk_run] + in_run * max_width
+        c_len = np.minimum(max_width, lens[chunk_run] - in_run * max_width)
+        return c_start, c_len, rows[chunk_run], tiers[chunk_run]
+
+    chunk_start, chunk_len, chunk_row, chunk_tier = chunkify(
+        run_start, run_len, run_row, run_tier
     )
-    chunk_start = run_start[chunk_run] + chunk_in_run * max_width
-    chunk_len = np.minimum(max_width, run_len[chunk_run] - chunk_in_run * max_width)
-    chunk_row = run_row[chunk_run]
-    chunk_tier = run_tier[chunk_run]
+    if c_run_row.shape[0]:
+        cc_start, cc_len, cc_row, cc_tier = chunkify(
+            c_run_start_c, c_run_len, c_run_row,
+            np.full(c_run_row.shape[0], -1, dtype=np.int64),
+        )
+        chunk_start = np.concatenate([chunk_start, cc_start])
+        chunk_len = np.concatenate([chunk_len, cc_len])
+        chunk_row = np.concatenate([chunk_row, cc_row])
+        chunk_tier = np.concatenate([chunk_tier, cc_tier])
 
     # --- one global ladder from the chunk-length histogram ---------------
     if isinstance(ladder, str):
@@ -167,10 +224,12 @@ def bin_rows_tiered(
     width_idx = np.searchsorted(ladder_arr, chunk_len, side="left")
 
     # --- build per-(tier, width) ELL buckets ------------------------------
+    # tier -1 (cold) first: its gather table is the full X (original cols,
+    # positions routed through cold_idx back to original nnz slots).
     tier_blocks = []
     real_rids = []  # per emitted bucket (concat order): real row ids
     bucket_totals = []
-    for t in range(n_tiers):
+    for t in [-1] + list(range(n_tiers)):
         t_sel = chunk_tier == t
         if not t_sel.any():
             continue
@@ -197,7 +256,11 @@ def bin_rows_tiered(
             np.cumsum(lens, out=cum[1:])
             intra = np.arange(total_len, dtype=np.int64) - np.repeat(cum[:-1], lens)
             src = np.repeat(starts, lens) + intra
-            b_cols[dst_row, intra] = cols[src] - t * tier_size  # tier-local
+            if t < 0:
+                src = cold_idx[src]  # compacted cold space -> original nnz
+                b_cols[dst_row, intra] = cols[src]  # full-table indices
+            else:
+                b_cols[dst_row, intra] = cols[src] - t * tier_size  # tier-local
             b_vals[dst_row, intra] = vals[src]
             buckets.append(EllBucket(row_ids=b_rows, cols=b_cols, vals=b_vals))
             real_rids.append(rids)

@@ -24,7 +24,7 @@ def _rand(n, m, density=0.05, seed=0, zero_rows=()):
 def test_tiered_matches_dense_multi_tier():
     dense = _rand(300, 500, seed=1, zero_rows=(7, 299))
     tiled = bin_rows_tiered(CSR.from_dense(dense), tier_size=128)
-    assert len(tiled.tiers) == 4
+    assert len([t for t in tiled.tiers if t.tier >= 0]) == 4
     x = jnp.asarray(np.random.default_rng(2).standard_normal((500, 16)).astype(np.float32))
     y = ref.spmm_tiered_xla(tiled, x)
     np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x), rtol=RTOL, atol=1e-3)
