@@ -1,6 +1,7 @@
 from of_spmm_tpu.models.gcn import GCN, normalized_adjacency
 from of_spmm_tpu.models.sage import GraphSAGE, mean_adjacency
 from of_spmm_tpu.models.embedding import Embedding
+from of_spmm_tpu.models.gat import GAT
 from of_spmm_tpu.models.sharded_embedding import ShardedEmbedding
 
 __all__ = [
@@ -9,5 +10,6 @@ __all__ = [
     "GraphSAGE",
     "mean_adjacency",
     "Embedding",
+    "GAT",
     "ShardedEmbedding",
 ]

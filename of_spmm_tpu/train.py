@@ -59,10 +59,15 @@ def make_dist_train_step(
     (python/oneflow/nn/parallel/ddp.py:39-121 is the eager analog).
     """
 
+    n_real = plan.shape[0]
+    n_padded = plan.n_shards * plan.cols_per_shard
+
     def loss_fn(params, x, labels):
+        # dist_gcn_apply slices its output back to the real row count
         logits = dist_gcn_apply(model, params, plan, x, mesh, axis=axis)
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, labels[:, None], axis=-1)[:, 0]
+        lbl = labels[: logits.shape[0]]
+        nll = -jnp.take_along_axis(logp, lbl[:, None], axis=-1)[:, 0]
         return jnp.mean(nll)
 
     x_sharding = NamedSharding(mesh, P(axis, None))
@@ -73,10 +78,18 @@ def make_dist_train_step(
         jax.jit,
         in_shardings=(rep, x_sharding, lbl_sharding),
         out_shardings=(rep, rep),
+        static_argnums=(),
     )
-    def step(params, x, labels):
+    def _step(params, x, labels):
         loss, grads = jax.value_and_grad(loss_fn)(params, x, labels)
         params = jax.tree_util.tree_map(lambda p, g: p - lr * g, params, grads)
         return loss, params
+
+    def step(params, x, labels):
+        pad = n_padded - x.shape[0]
+        if pad:
+            x = jnp.pad(x, ((0, pad), (0, 0)))
+            labels = jnp.pad(labels, (0, pad))
+        return _step(params, x, labels)
 
     return step
