@@ -28,6 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from of_spmm_tpu.sparse.binned import BinnedEll
+from of_spmm_tpu.utils.config import FLAGS
 from of_spmm_tpu.sparse.formats import COO, CSR
 
 _LOW_PRECISION = (jnp.bfloat16, jnp.float16)
@@ -264,6 +265,34 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
     if n_pad != x.shape[0]:
         xa = jnp.pad(xa, ((0, n_pad - x.shape[0]), (0, 0)))
 
+    # Cap the transient gather materialization: XLA's take of (r, K) rows
+    # materializes an (r*K, d) block; a hub bucket at 10^8-nnz scale would
+    # exceed HBM (measured: one 178k x 256 bucket -> 23GB). Buckets beyond
+    # the slot budget process in lax.map chunks.
+    max_slots = int(FLAGS.get("OFS_SPMM_MAX_GATHER_SLOTS"))
+
+    def bucket_contrib(xt, b):
+        R, K = b.cols.shape
+        v = b.vals.astype(acc)
+
+        def one(cols_c, vals_c):
+            g = jnp.take(xt, cols_c, axis=0)
+            return (vals_c[:, :, None] * g).sum(axis=1)
+
+        if R * K <= max_slots:
+            return one(b.cols, v)
+        rows_per = max(max_slots // K, 8)
+        pad = -R % rows_per
+        cols_p = jnp.pad(b.cols, ((0, pad), (0, 0)))
+        vals_p = jnp.pad(v, ((0, pad), (0, 0)))
+        nchunk = (R + pad) // rows_per
+        out = jax.lax.map(
+            lambda args: one(*args),
+            (cols_p.reshape(nchunk, rows_per, K),
+             vals_p.reshape(nchunk, rows_per, K)),
+        )
+        return out.reshape(R + pad, -1)[:R]
+
     contribs = []
     for t in tiled.tiers:
         if t.tier < 0:
@@ -271,8 +300,7 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
         else:
             xt = jax.lax.slice_in_dim(xa, t.tier * ts, (t.tier + 1) * ts, axis=0)
         for b in t.buckets:
-            g = jnp.take(xt, b.cols, axis=0)  # (r, K, d) — fast-path table
-            contribs.append((b.vals.astype(acc)[:, :, None] * g).sum(axis=1))
+            contribs.append(bucket_contrib(xt, b))
 
     cat = contribs[0] if len(contribs) == 1 else jnp.concatenate(contribs, axis=0)
     fin = tiled.finish

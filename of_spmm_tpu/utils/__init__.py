@@ -6,7 +6,12 @@ from of_spmm_tpu.utils.roofline import (
     spmm_report,
     time_fn,
 )
-from of_spmm_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from of_spmm_tpu.utils.checkpoint import (
+    load_checkpoint,
+    load_sharded,
+    save_checkpoint,
+    save_sharded,
+)
 from of_spmm_tpu.utils import profiler
 
 __all__ = [
@@ -19,6 +24,8 @@ __all__ = [
     "spmm_report",
     "time_fn",
     "load_checkpoint",
+    "load_sharded",
+    "save_sharded",
     "profiler",
     "save_checkpoint",
 ]

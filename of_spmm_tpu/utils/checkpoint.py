@@ -42,8 +42,13 @@ def save_checkpoint(path: str, tree: Any) -> None:
     os.replace(tmp, path)
 
 
-def load_checkpoint(path: str, like: Any) -> Any:
-    """Load into the structure of ``like`` (arrays restored in like's order)."""
+def load_checkpoint(path: str, like: Any, restore_shardings: bool = True) -> Any:
+    """Load into the structure of ``like`` (arrays restored in like's order).
+
+    With ``restore_shardings`` (default), any leaf of ``like`` that carries
+    a sharding gets the loaded array placed with the same sharding — the
+    analog of the reference restoring global tensors to their placement
+    (check_point_v2.py tensor_setstate)."""
     with np.load(path, allow_pickle=False) as z:
         manifest = json.loads(str(z["manifest"]))
         arrays = [z[f"arr_{i}"] for i in range(len(manifest))]
@@ -53,5 +58,34 @@ def load_checkpoint(path: str, like: Any) -> Any:
             "checkpoint structure mismatch:\n"
             f"  file:   {manifest}\n  target: {[k for k, _ in items]}"
         )
-    leaves = [jnp.asarray(a) for a in arrays]
+    leaves = []
+    for (key, ref), a in zip(items, arrays):
+        sharding = getattr(ref, "sharding", None) if restore_shardings else None
+        if sharding is not None and hasattr(ref, "is_fully_addressable"):
+            leaves.append(jax.device_put(jnp.asarray(a), sharding))
+        else:
+            leaves.append(jnp.asarray(a))
     return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+# ---------------------------------------------------------------------------
+# Orbax-backed sharded checkpointing (multi-host scale path).
+# ---------------------------------------------------------------------------
+
+
+def save_sharded(path: str, tree: Any) -> None:
+    """Sharded checkpoint via orbax: each host writes only its shards —
+    the reference's per-rank save mode (check_point_v2.py global_dst_rank
+    None branch), but in a format that restores to any mesh."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(os.path.abspath(path), tree, force=True)
+
+
+def load_sharded(path: str, like: Any) -> Any:
+    """Restore an orbax checkpoint, resharding to ``like``'s shardings."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(path), like)

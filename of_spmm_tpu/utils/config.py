@@ -109,6 +109,13 @@ FLAGS.define_bool(
     False,
     "Log halo-exchange / resharding decisions (analog of ONEFLOW eager boxing logger).",
 )
+FLAGS.define_int(
+    "OFS_SPMM_MAX_GATHER_SLOTS",
+    8 * 1024 * 1024,
+    "Max (rows*width) slots one tiered-spmm bucket may gather at once; "
+    "larger buckets chunk via lax.map (bounds the materialized block: "
+    "slots * d * 4 bytes of HBM).",
+)
 FLAGS.define_str(
     "OFS_DEFAULT_IMPL",
     "auto",
