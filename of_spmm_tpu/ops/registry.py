@@ -157,6 +157,28 @@ def _populate() -> None:
         doc="vals[e] = lhs[rows[e]] . rhs[cols[e]]",
     )
     register_op(
+        "spmm_coo",
+        oracle=lambda r, c, v, x, n: ref.segment_sum(
+            v[:, None] * ref.gather(x, c), r, n
+        ),
+        impls={"xla": ag.spmm_coo},
+        sharding_rules=(
+            ShardingRule(("S0", "S0", "S0", "B", "B"), ("P",),
+                         "edge-split pattern+vals -> partial-sum out"),
+        ),
+        doc="Y = A @ X with runtime-valued (traced) edge weights; "
+            "differentiable in vals AND x (GAT aggregation)",
+    )
+    register_op(
+        "segment_softmax",
+        oracle=ag.segment_softmax,
+        impls={"xla": ag.segment_softmax},
+        sharding_rules=(
+            ShardingRule(("B", "B"), ("B",), "replicated edge scores"),
+        ),
+        doc="softmax over each segment (per-destination attention weights)",
+    )
+    register_op(
         "spgemm",
         oracle=ref.spgemm,
         impls={"host": ref.spgemm},
