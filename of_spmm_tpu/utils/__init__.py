@@ -13,6 +13,7 @@ from of_spmm_tpu.utils.checkpoint import (
     save_sharded,
 )
 from of_spmm_tpu.utils import profiler
+from of_spmm_tpu.utils.summary import SummaryWriter, read_events
 
 __all__ = [
     "FLAGS",
@@ -27,5 +28,7 @@ __all__ = [
     "load_sharded",
     "save_sharded",
     "profiler",
+    "SummaryWriter",
+    "read_events",
     "save_checkpoint",
 ]
