@@ -1,6 +1,13 @@
 """optim — optimizers + lr schedules (reference: python/oneflow/optim)."""
 
 from of_spmm_tpu.optim import lr_scheduler
+from of_spmm_tpu.optim.indexed_slices import (
+    IndexedSlices,
+    reduce_ids,
+    sparse_adam_update,
+    sparse_sgd_update,
+    sparse_value_and_grad,
+)
 from of_spmm_tpu.optim.optimizers import (
     Optimizer,
     adam,
@@ -20,4 +27,9 @@ __all__ = [
     "ftrl",
     "clip_grad_norm",
     "lr_scheduler",
+    "IndexedSlices",
+    "reduce_ids",
+    "sparse_adam_update",
+    "sparse_sgd_update",
+    "sparse_value_and_grad",
 ]

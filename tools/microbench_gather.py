@@ -76,7 +76,7 @@ def bench_stream():
 
 def bench_xla_take(table_rows, n_idx=1024 * 1024, sort=False):
     rng = np.random.default_rng(0)
-    idx = rng.integers(0, table_rows, n_idx).astype(np.int32)
+    idx = rng.integers(0, table_rows - 2, n_idx).astype(np.int32)
     if sort:
         idx = np.sort(idx)
     table = jnp.asarray(rng.random((table_rows, D), np.float32))
@@ -85,10 +85,12 @@ def bench_xla_take(table_rows, n_idx=1024 * 1024, sort=False):
     def make(k):
         @jax.jit
         def f(table, idx):
+            # indices depend on the loop counter so XLA cannot hoist the
+            # gather out of the loop (LICM would void the measurement)
             def body(i, acc):
-                g = jnp.take(table, idx, axis=0)
-                return acc + g[0, 0] + g[-1, -1]
-            return jax.lax.fori_loop(0, k, body, jnp.float32(0)), table
+                g = jnp.take(table, idx + (i & 1), axis=0)
+                return acc + g[0, :]
+            return jax.lax.fori_loop(0, k, body, jnp.zeros((D,), jnp.float32))
         return f
 
     t = delta_time(make, table, idxd)
@@ -104,7 +106,7 @@ def bench_vmem_gather_loop(C=8192, T=4 * 1024 * 1024, unroll=8):
     """Tier (C, D) lives in VMEM; gather T rows with a dynamic-slice loop,
     multiply by vals, accumulate into 8 sublane accumulators."""
     rng = np.random.default_rng(0)
-    cols = jnp.asarray(rng.integers(0, C, T).astype(np.int32).reshape(8, T // 8))
+    cols = jnp.asarray(rng.integers(0, C - 2, T).astype(np.int32).reshape(8, T // 8))
     vals = jnp.asarray(rng.random((8, T // 8), np.float32))
     tier = jnp.asarray(rng.random((C, D), np.float32))
 
@@ -132,7 +134,7 @@ def bench_vmem_gather_loop(C=8192, T=4 * 1024 * 1024, unroll=8):
         @jax.jit
         def g(cols, vals, tier):
             def body(i, acc):
-                return acc + f(cols, vals, tier)[0, 0]
+                return acc + f(cols + (i & 1), vals, tier)[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return g
 
@@ -147,7 +149,7 @@ def bench_vmem_gather_loop(C=8192, T=4 * 1024 * 1024, unroll=8):
 
 def bench_vmem_take(C=8192, T=4 * 1024 * 1024):
     rng = np.random.default_rng(0)
-    cols = jnp.asarray(rng.integers(0, C, T).astype(np.int32).reshape(-1, 128))
+    cols = jnp.asarray(rng.integers(0, C - 2, T).astype(np.int32).reshape(-1, 128))
     tier = jnp.asarray(rng.random((C, D), np.float32))
     R = cols.shape[0]
     TILE = 512
@@ -172,7 +174,7 @@ def bench_vmem_take(C=8192, T=4 * 1024 * 1024):
         @jax.jit
         def g(cols, tier):
             def body(i, acc):
-                return acc + f(cols, tier)[0, 0]
+                return acc + f(cols + (i & 1), tier)[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return g
 
@@ -193,7 +195,7 @@ def bench_onehot_mxu(C=512, T=4 * 1024 * 1024):
     """Gather+reduce via MXU: onehot(cols) @ tier. Cost C*D MAC per row."""
     rng = np.random.default_rng(0)
     TILE = 256
-    cols = jnp.asarray(rng.integers(0, C, T).astype(np.int32).reshape(-1, TILE))
+    cols = jnp.asarray(rng.integers(0, C - 2, T).astype(np.int32).reshape(-1, TILE))
     R = cols.shape[0]
     tier = jnp.asarray(rng.random((C, D), np.float32))
 
@@ -218,7 +220,7 @@ def bench_onehot_mxu(C=512, T=4 * 1024 * 1024):
         @jax.jit
         def g(cols, tier):
             def body(i, acc):
-                return acc + f(cols, tier)[0, 0]
+                return acc + f(cols + (i & 1), tier)[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return g
 
@@ -237,7 +239,7 @@ def bench_onehot_mxu(C=512, T=4 * 1024 * 1024):
 
 def bench_row_dma(table_rows=2 * 1024 * 1024, T=1024 * 1024, W=16):
     rng = np.random.default_rng(0)
-    cols = jnp.asarray(rng.integers(0, table_rows, T).astype(np.int32).reshape(-1, 128))
+    cols = jnp.asarray(rng.integers(0, table_rows - 2, T).astype(np.int32).reshape(-1, 128))
     R = cols.shape[0]
     table = jnp.asarray(rng.random((table_rows, D), np.float32))
 
@@ -281,7 +283,7 @@ def bench_row_dma(table_rows=2 * 1024 * 1024, T=1024 * 1024, W=16):
         @jax.jit
         def g(cols, table):
             def body(i, acc):
-                return acc + f(cols, table)[0, 0]
+                return acc + f(cols + (i & 1), table)[0, 0]
             return jax.lax.fori_loop(0, k, body, jnp.float32(0))
         return g
 
