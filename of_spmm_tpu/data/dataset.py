@@ -138,6 +138,7 @@ class DataLoader:
         seed: int = 0,
         collate_fn: Callable = _default_collate,
         prefetch: int = 2,
+        num_workers: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -146,6 +147,7 @@ class DataLoader:
         self.seed = seed
         self.collate_fn = collate_fn
         self.prefetch = prefetch
+        self.num_workers = num_workers
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -172,7 +174,66 @@ class DataLoader:
             idx = order[s : s + self.batch_size]
             yield self.collate_fn([self.dataset[int(i)] for i in idx])
 
+    def _iter_multiprocess(self) -> Iterator[Any]:
+        """Multi-worker batch assembly (reference: utils/data multiprocess
+        DataLoader / oneflow.multiprocessing workers).
+
+        Worker i builds batches i, i+W, i+2W, ...; the parent reassembles
+        them in order, keeping at most ``prefetch`` finished batches per
+        worker in flight. fork start method: the dataset is inherited, not
+        pickled per item (matches the reference's worker model).
+        """
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        n_batches = len(self)
+        order = self._index_order()
+        stop = n_batches * self.batch_size if self.drop_last else len(order)
+        W = self.num_workers
+        out_qs = [ctx.Queue(maxsize=max(self.prefetch, 1)) for _ in range(W)]
+
+        def worker(wid: int):
+            try:
+                for b in range(wid, n_batches, W):
+                    s = b * self.batch_size
+                    idx = order[s : min(s + self.batch_size, stop)]
+                    out_qs[wid].put(
+                        (b, self.collate_fn([self.dataset[int(i)] for i in idx]))
+                    )
+                out_qs[wid].put((None, None))
+            except BaseException as e:  # noqa: BLE001
+                out_qs[wid].put((-1, repr(e)))
+
+        procs = [ctx.Process(target=worker, args=(w,), daemon=True)
+                 for w in range(W)]
+        for p in procs:
+            p.start()
+        try:
+            done = [False] * W
+            nxt = 0
+            while nxt < n_batches:
+                wid = nxt % W
+                if done[wid]:
+                    break
+                b, payload = out_qs[wid].get()
+                if b == -1:
+                    raise RuntimeError(f"DataLoader worker failed: {payload}")
+                if b is None:
+                    done[wid] = True
+                    continue
+                assert b == nxt, f"out-of-order batch {b} != {nxt}"
+                nxt += 1
+                yield payload
+        finally:
+            for p in procs:
+                p.terminate()
+            for p in procs:
+                p.join()
+
     def __iter__(self) -> Iterator[Any]:
+        if self.num_workers > 0:
+            yield from self._iter_multiprocess()
+            return
         if self.prefetch <= 0:
             yield from self._make_batches()
             return

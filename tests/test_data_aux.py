@@ -132,3 +132,38 @@ def test_consistency_fingerprint():
     assert plan_fingerprint(t1) != plan_fingerprint(t3)
     fp = check_consistent(t1)  # single-process: returns fingerprint
     assert isinstance(fp, str) and len(fp) == 64
+
+
+def test_dataloader_num_workers_matches_single_process():
+    """Multiprocess workers produce the same batches in the same order."""
+    import numpy as np
+    from of_spmm_tpu.data.dataset import DataLoader, TensorDataset
+
+    x = np.arange(103 * 3, dtype=np.float32).reshape(103, 3)
+    y = np.arange(103, dtype=np.int64)
+    ds = TensorDataset(x, y)
+    kw = dict(batch_size=8, shuffle=True, seed=7, drop_last=False)
+    ref = list(DataLoader(ds, num_workers=0, **kw))
+    got = list(DataLoader(ds, num_workers=3, **kw))
+    assert len(ref) == len(got) == 13
+    for (rx, ry), (gx, gy) in zip(ref, got):
+        np.testing.assert_array_equal(rx, gx)
+        np.testing.assert_array_equal(ry, gy)
+
+
+def test_dataloader_worker_error_propagates():
+    import numpy as np
+    import pytest
+    from of_spmm_tpu.data.dataset import DataLoader, Dataset
+
+    class Bad(Dataset):
+        def __len__(self):
+            return 10
+
+        def __getitem__(self, i):
+            if i == 5:
+                raise ValueError("boom")
+            return np.zeros(2, np.float32)
+
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(DataLoader(Bad(), batch_size=2, num_workers=2))
