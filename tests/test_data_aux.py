@@ -167,3 +167,34 @@ def test_dataloader_worker_error_propagates():
 
     with pytest.raises(RuntimeError, match="worker failed"):
         list(DataLoader(Bad(), batch_size=2, num_workers=2))
+
+
+def test_launcher_spawns_ranks(tmp_path):
+    """launch sets the env contract per rank and propagates failures."""
+    import subprocess, sys, os
+    script = tmp_path / "child.py"
+    script.write_text(
+        "import os, sys\n"
+        "print(os.environ['RANK'], os.environ['LOCAL_RANK'],"
+        " os.environ['WORLD_SIZE'], flush=True)\n"
+        "sys.exit(0)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-m", "of_spmm_tpu.distributed.launch",
+         "--nproc_per_node", "3", str(script)],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONPATH": os.getcwd()},
+    )
+    assert out.returncode == 0, out.stderr
+    lines = sorted(out.stdout.strip().splitlines())
+    assert lines == ["0 0 3", "1 1 3", "2 2 3"]
+
+    bad = tmp_path / "bad.py"
+    bad.write_text("import os, sys; sys.exit(3 if os.environ['RANK']=='1' else 0)\n")
+    out = subprocess.run(
+        [sys.executable, "-m", "of_spmm_tpu.distributed.launch",
+         "--nproc_per_node", "2", str(bad)],
+        capture_output=True, text=True, timeout=120,
+        env={**os.environ, "PYTHONPATH": os.getcwd()},
+    )
+    assert out.returncode == 3
