@@ -22,7 +22,8 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")):
+def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas"),
+                tier_size=None):
     """Time Y = A @ X per impl with delta timing: k1 vs k2 chained SpMMs
     inside one jitted computation (y <- A_hat y on the normalized adjacency,
     so values stay bounded); the difference cancels the fixed per-call
@@ -44,9 +45,13 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     def build():
         csr, cfg = load_graph(name, symmetrize=True)
         csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
-        return make_operator(csr, place=False), csr.nnz, csr.shape
+        return (
+            make_operator(csr, place=False, tier_size=tier_size),
+            csr.nnz, csr.shape,
+        )
 
-    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v3", build)
+    ts_key = f"|ts{tier_size}" if tier_size else ""
+    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v3{ts_key}", build)
     log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({time.time()-t0:.1f}s)")
     t0 = time.time()
     op = place_operator(op)
@@ -103,6 +108,37 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     return results
 
 
+def bench_spgemm(name: str, iters: int = 3):
+    """SpGEMM A@A 2-hop expansion (BASELINE config 4: functional + measured).
+
+    Host-side plan-time op (native Gustavson SPA when the toolchain is
+    present); reports GFLOP/s over 2 * expansion-product count."""
+    import numpy as np
+
+    from of_spmm_tpu.data.graphs import load_graph
+    from of_spmm_tpu.ops.reference import spgemm
+    from of_spmm_tpu import native
+
+    csr, cfg = load_graph(name, symmetrize=True)
+    indptr = np.asarray(csr.indptr).astype(np.int64)
+    cols = np.asarray(csr.cols)
+    # FLOPs: every (i,k) nonzero of A multiplies against B's row k
+    products = int((indptr[cols + 1] - indptr[cols]).sum())
+    times = []
+    out_nnz = 0
+    for _ in range(iters):
+        t0 = time.time()
+        c = spgemm(csr, csr)
+        times.append(time.time() - t0)
+        out_nnz = c.nnz
+    sec = sorted(times)[len(times) // 2]
+    gflops = 2 * products / sec / 1e9
+    log(f"[spgemm {name}] native={native.available()} {sec*1e3:.0f} ms  "
+        f"{gflops:.2f} GFLOP/s  in_nnz={csr.nnz:,} out_nnz={out_nnz:,} "
+        f"products={products:,}")
+    return {"seconds": sec, "gflops": gflops, "out_nnz": out_nnz}
+
+
 def main():
     os.makedirs(os.path.expanduser("~/.cache/ofs_jax"), exist_ok=True)
     import jax
@@ -115,15 +151,32 @@ def main():
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--impls", default="xla,pallas")
+    ap.add_argument("--tier-size", type=int, default=None,
+                    help="column tier size override (sparse/tiled.py)")
+    ap.add_argument("--op", default="spmm", choices=("spmm", "spgemm"),
+                    help="which benchmark to run")
     ap.add_argument("--sweep", action="store_true", help="also run the small graphs")
     args = ap.parse_args()
     impls = tuple(args.impls.split(","))
 
+    if args.op == "spgemm":
+        g = args.graph if args.graph != "ogbn-products" else "ogbn-arxiv"
+        rep = bench_spgemm(g, iters=max(args.iters // 2, 1))
+        print(json.dumps({
+            "metric": f"spgemm_gflops_{g}",
+            "value": round(rep["gflops"], 3),
+            "unit": "GFLOP/s",
+            "vs_baseline": 1.0,  # functional+measured target (no ref number)
+        }))
+        return 0
+
     if args.sweep:
         for g in ["cora", "citeseer", "ogbn-arxiv", "reddit-small"]:
-            bench_graph(g, d=args.d, iters=args.iters, impls=impls)
+            bench_graph(g, d=args.d, iters=args.iters, impls=impls,
+                        tier_size=args.tier_size)
 
-    results = bench_graph(args.graph, d=args.d, iters=args.iters, impls=impls)
+    results = bench_graph(args.graph, d=args.d, iters=args.iters, impls=impls,
+                          tier_size=args.tier_size)
     best_name, best = max(
         results.items(), key=lambda kv: kv[1]["roofline_fraction"], default=(None, None)
     )

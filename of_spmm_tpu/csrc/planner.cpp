@@ -152,4 +152,74 @@ int csr_transpose(int64_t n_rows, int64_t n_cols, int64_t nnz,
   return 0;
 }
 
+// SpGEMM C = A @ B, two-phase (count, then fill) with per-thread sparse
+// accumulators (SPA: value array + row-stamp array over B's column space,
+// the classic Gustavson formulation). Row-parallel; output columns sorted
+// per row (deterministic). The reference has no SpGEMM at all (SURVEY.md
+// §2.4) — this is new capability, host-side because output nnz is
+// data-dependent (plan-time op; device math stays static-shape).
+int spgemm_count(int64_t n_rows, int64_t n_cols_b, const int64_t* a_indptr,
+                 const int32_t* a_cols, const int64_t* b_indptr,
+                 const int32_t* b_cols, int64_t* out_counts) {
+#pragma omp parallel
+  {
+    std::vector<int64_t> stamp(n_cols_b, -1);
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n_rows; ++i) {
+      int64_t cnt = 0;
+      for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+        int32_t k = a_cols[p];
+        for (int64_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+          int32_t j = b_cols[q];
+          if (stamp[j] != i) {
+            stamp[j] = i;
+            ++cnt;
+          }
+        }
+      }
+      out_counts[i] = cnt;
+    }
+  }
+  return 0;
+}
+
+int spgemm_fill(int64_t n_rows, int64_t n_cols_b, const int64_t* a_indptr,
+                const int32_t* a_cols, const float* a_vals,
+                const int64_t* b_indptr, const int32_t* b_cols,
+                const float* b_vals, const int64_t* out_indptr,
+                int32_t* out_cols, float* out_vals) {
+#pragma omp parallel
+  {
+    std::vector<int64_t> stamp(n_cols_b, -1);
+    std::vector<float> acc(n_cols_b, 0.0f);
+    std::vector<int32_t> touched;
+#pragma omp for schedule(dynamic, 256)
+    for (int64_t i = 0; i < n_rows; ++i) {
+      touched.clear();
+      for (int64_t p = a_indptr[i]; p < a_indptr[i + 1]; ++p) {
+        int32_t k = a_cols[p];
+        float va = a_vals[p];
+        for (int64_t q = b_indptr[k]; q < b_indptr[k + 1]; ++q) {
+          int32_t j = b_cols[q];
+          if (stamp[j] != i) {
+            stamp[j] = i;
+            acc[j] = va * b_vals[q];
+            touched.push_back(j);
+          } else {
+            acc[j] += va * b_vals[q];
+          }
+        }
+      }
+      std::sort(touched.begin(), touched.end());
+      int64_t w = out_indptr[i];
+      for (int32_t j : touched) {
+        out_cols[w] = j;
+        out_vals[w] = acc[j];
+        ++w;
+      }
+    }
+  }
+  return 0;
+}
+
 }  // extern "C"

@@ -88,6 +88,11 @@ def _lib() -> Optional[ctypes.CDLL]:
         lib.csr_transpose.argtypes = [i64, i64, i64, i64p, i32p,
                                       ctypes.c_void_p, i64p, i32p, f32p]
         lib.csr_transpose.restype = ctypes.c_int
+        lib.spgemm_count.argtypes = [i64, i64, i64p, i32p, i64p, i32p, i64p]
+        lib.spgemm_count.restype = ctypes.c_int
+        lib.spgemm_fill.argtypes = [i64, i64, i64p, i32p, f32p, i64p, i32p,
+                                    f32p, i64p, i32p, f32p]
+        lib.spgemm_fill.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -178,3 +183,39 @@ def csr_transpose(
     v = (np.ones(nnz, np.float32) if vals is None
          else np.asarray(vals, np.float32))
     return coo_to_csr(cols, rows, v, n_cols)
+
+
+def spgemm(
+    a_indptr: np.ndarray, a_cols: np.ndarray, a_vals: np.ndarray,
+    b_indptr: np.ndarray, b_cols: np.ndarray, b_vals: np.ndarray,
+    n_rows: int, n_cols_b: int,
+) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """C = A @ B via the native two-phase Gustavson SPA kernel.
+
+    Returns (indptr int64, cols int32 sorted per row, vals f32), or None if
+    the native library is unavailable (callers fall back to the numpy
+    expand/sort/reduce in ops/reference.py).
+    """
+    lib = _lib()
+    if lib is None:
+        return None
+    a_indptr = np.ascontiguousarray(a_indptr, np.int64)
+    a_cols = np.ascontiguousarray(a_cols, np.int32)
+    a_vals = np.ascontiguousarray(a_vals, np.float32)
+    b_indptr = np.ascontiguousarray(b_indptr, np.int64)
+    b_cols = np.ascontiguousarray(b_cols, np.int32)
+    b_vals = np.ascontiguousarray(b_vals, np.float32)
+    counts = np.zeros(n_rows, dtype=np.int64)
+    if lib.spgemm_count(n_rows, n_cols_b, a_indptr, a_cols,
+                        b_indptr, b_cols, counts) != 0:
+        return None
+    indptr = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    nnz = int(indptr[-1])
+    out_cols = np.empty(nnz, dtype=np.int32)
+    out_vals = np.empty(nnz, dtype=np.float32)
+    if lib.spgemm_fill(n_rows, n_cols_b, a_indptr, a_cols, a_vals,
+                       b_indptr, b_cols, b_vals, indptr,
+                       out_cols, out_vals) != 0:
+        return None
+    return indptr, out_cols, out_vals

@@ -329,6 +329,18 @@ def spgemm(a: CSR, b: CSR) -> CSR:
     """
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"spgemm shape mismatch: {a.shape} @ {b.shape}")
+    from of_spmm_tpu import native
+
+    nat = native.spgemm(
+        np.asarray(a.indptr), np.asarray(a.cols), np.asarray(a.vals),
+        np.asarray(b.indptr), np.asarray(b.cols), np.asarray(b.vals),
+        a.shape[0], b.shape[1],
+    )
+    if nat is not None:
+        indptr, cols, vals = nat
+        return CSR.from_arrays(
+            indptr.astype(np.int32), cols, vals, (a.shape[0], b.shape[1])
+        )
     a_indptr = np.asarray(a.indptr).astype(np.int64)
     a_cols = np.asarray(a.cols)
     a_vals = np.asarray(a.vals)

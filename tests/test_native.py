@@ -78,3 +78,36 @@ def test_formats_use_native_consistently():
     t2 = t.transpose()
     np.testing.assert_array_equal(np.asarray(t2.cols), np.asarray(csr.cols))
     np.testing.assert_allclose(np.asarray(t2.vals), np.asarray(csr.vals))
+
+
+def test_native_spgemm_matches_numpy():
+    """Native Gustavson SPA SpGEMM == numpy expand/sort/reduce oracle."""
+    import numpy as np
+    from of_spmm_tpu import native
+    from of_spmm_tpu.sparse.formats import CSR
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(0)
+    n, m, k = 60, 40, 50
+    A = (rng.random((n, k)) < 0.1) * rng.random((n, k)).astype(np.float32)
+    B = (rng.random((k, m)) < 0.15) * rng.random((k, m)).astype(np.float32)
+    ca, cb = CSR.from_dense(A.astype(np.float32)), CSR.from_dense(B.astype(np.float32))
+    got = native.spgemm(
+        np.asarray(ca.indptr), np.asarray(ca.cols), np.asarray(ca.vals),
+        np.asarray(cb.indptr), np.asarray(cb.cols), np.asarray(cb.vals),
+        n, m,
+    )
+    assert got is not None
+    indptr, cols, vals = got
+    dense = np.zeros((n, m), np.float32)
+    for r in range(n):
+        for p in range(indptr[r], indptr[r + 1]):
+            dense[r, cols[p]] = vals[p]
+    np.testing.assert_allclose(dense, A @ B, rtol=1e-5, atol=1e-6)
+    # per-row columns sorted and unique
+    for r in range(n):
+        c = cols[indptr[r]:indptr[r + 1]]
+        assert np.all(np.diff(c) > 0)
