@@ -3,6 +3,8 @@ from of_spmm_tpu.models.sage import GraphSAGE, mean_adjacency
 from of_spmm_tpu.models.embedding import Embedding
 from of_spmm_tpu.models.gat import GAT
 from of_spmm_tpu.models.sharded_embedding import ShardedEmbedding
+from of_spmm_tpu.models.resnet import ResNet, resnet50, resnet101
+from of_spmm_tpu.models.transformer import TransformerEncoder, bert_base, bert_tiny
 
 __all__ = [
     "GCN",
@@ -12,4 +14,10 @@ __all__ = [
     "Embedding",
     "GAT",
     "ShardedEmbedding",
+    "ResNet",
+    "resnet50",
+    "resnet101",
+    "TransformerEncoder",
+    "bert_base",
+    "bert_tiny",
 ]

@@ -191,29 +191,29 @@ def bench_vmem_take(C=8192, T=4 * 1024 * 1024):
 
 # 5. Pallas one-hot MXU gather -------------------------------------------------
 
-def bench_onehot_mxu(C=512, T=4 * 1024 * 1024):
+def bench_onehot_mxu(C=512, T=4 * 1024 * 1024, TILE=2048):
     """Gather+reduce via MXU: onehot(cols) @ tier. Cost C*D MAC per row."""
     rng = np.random.default_rng(0)
-    TILE = 256
-    cols = jnp.asarray(rng.integers(0, C - 2, T).astype(np.int32).reshape(-1, TILE))
-    R = cols.shape[0]
+    cols = jnp.asarray(rng.integers(0, C - 2, T).astype(np.int32).reshape(-1, 128))
+    R = cols.shape[0]  # rows of 128 indices
+    G = TILE // 128  # index rows consumed per grid step
     tier = jnp.asarray(rng.random((C, D), np.float32))
 
     def kernel(cols_ref, tier_ref, out_ref):
-        idx = cols_ref[0, :]  # (TILE,)
+        idx = cols_ref[:].reshape(TILE, 1)  # (TILE, 1)
         iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, C), 1)
-        onehot = (iota == idx[:, None]).astype(jnp.float32)
+        onehot = (iota == idx).astype(jnp.float32)
         out_ref[:] = jnp.dot(onehot, tier_ref[:], preferred_element_type=jnp.float32)
 
     f = pl.pallas_call(
         kernel,
-        grid=(R,),
+        grid=(R // G,),
         in_specs=[
-            pl.BlockSpec((1, TILE), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R * TILE, D), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((R // G * TILE, D), jnp.float32),
     )
 
     def make(k):
@@ -231,6 +231,51 @@ def bench_onehot_mxu(C=512, T=4 * 1024 * 1024):
         return 0.0
     mrows = T / t / 1e6
     log(f"[pallas onehot mxu] C={C} : {mrows:6.0f} Mrows/s "
+        f"= {mrows * ROW_BYTES / 1e3:5.0f} GB/s (virtual)")
+    return mrows
+
+
+def bench_onehot_mxu_bf16(C=512, T=4 * 1024 * 1024, TILE=2048):
+    """Same one-hot MXU gather with a bf16 one-hot (exact: one-hot entries
+    are 0/1 and vals multiply AFTER) against a bf16 tier -> fp32 acc."""
+    rng = np.random.default_rng(0)
+    cols = jnp.asarray(rng.integers(0, C - 2, T).astype(np.int32).reshape(-1, 128))
+    R = cols.shape[0]
+    G = TILE // 128
+    tier = jnp.asarray(rng.random((C, D), np.float32).astype(jnp.bfloat16))
+
+    def kernel(cols_ref, tier_ref, out_ref):
+        idx = cols_ref[:].reshape(TILE, 1)
+        iota = jax.lax.broadcasted_iota(jnp.int32, (TILE, C), 1)
+        onehot = (iota == idx).astype(jnp.bfloat16)
+        out_ref[:] = jnp.dot(onehot, tier_ref[:], preferred_element_type=jnp.float32)
+
+    f = pl.pallas_call(
+        kernel,
+        grid=(R // G,),
+        in_specs=[
+            pl.BlockSpec((G, 128), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((TILE, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R // G * TILE, D), jnp.float32),
+    )
+
+    def make(k):
+        @jax.jit
+        def g(cols, tier):
+            def body(i, acc):
+                return acc + f(cols + (i & 1), tier)[0, 0]
+            return jax.lax.fori_loop(0, k, body, jnp.float32(0))
+        return g
+
+    try:
+        t = delta_time(make, cols, tier, k2=4)
+    except Exception as e:  # noqa: BLE001
+        log(f"[pallas onehot bf16] FAILED: {type(e).__name__}: {str(e)[:300]}")
+        return 0.0
+    mrows = T / t / 1e6
+    log(f"[pallas onehot bf16] C={C} : {mrows:6.0f} Mrows/s "
         f"= {mrows * ROW_BYTES / 1e3:5.0f} GB/s (virtual)")
     return mrows
 
@@ -308,6 +353,9 @@ if __name__ == "__main__":
         bench_vmem_take(C=8192)
     if "onehot" in which:
         bench_onehot_mxu(C=512)
+        bench_onehot_mxu(C=2048)
+        bench_onehot_mxu_bf16(C=512)
+        bench_onehot_mxu_bf16(C=2048)
     if "dma" in which:
         bench_row_dma()
     log("done")
