@@ -189,7 +189,36 @@ def train_graph(
     jit_kwargs = {}
     if donate:
         jit_kwargs["donate_argnums"] = (0, 1)
+    _maybe_debug_passes(config, mesh, dp_axis)
     return init, jax.jit(step, **jit_kwargs)
+
+
+def _maybe_debug_passes(config: GraphConfig, mesh, dp_axis) -> None:
+    """ONEFLOW_DEBUG_PASS analog: OFS_DEBUG_PASS=1 logs which graph passes
+    are active when a train graph is built (the reference dumps the job
+    before/after each pass, job_build_and_infer_ctx.cpp:925-951; here the
+    passes are functional transforms, so the useful dump is which ones are
+    enabled plus the lowered-IR stats via export.ir_stats on demand)."""
+    import os
+    import sys
+
+    if not os.environ.get("OFS_DEBUG_PASS"):
+        return
+    passes = [
+        ("amp(bf16)", config.amp),
+        ("loss_scale", config.loss_scale is not None),
+        (f"grad_accumulation(x{config.grad_accumulation_steps})",
+         config.grad_accumulation_steps > 1),
+        ("activation_checkpointing", config.checkpoint_activations),
+        (f"zero(stage={config.zero_stage}, min={config.zero_min_size})",
+         config.zero_stage >= 1 and mesh is not None),
+        (f"clip_grad_norm({config.clip_grad_norm})",
+         config.clip_grad_norm is not None),
+    ]
+    on = [name for name, enabled in passes if enabled]
+    off = [name for name, enabled in passes if not enabled]
+    print(f"[ofs graph passes] on={on or ['(none)']} off={off}",
+          file=sys.stderr, flush=True)
 
 
 class TrainGraph:
