@@ -98,3 +98,18 @@ def test_power_law_skew():
     deg = np.bincount(dst, minlength=cfg.n_nodes)
     # heavy tail: max degree far above mean
     assert deg.max() > 20 * deg.mean()
+
+
+def test_autoprof_table():
+    """autoprof times ours-vs-torch and renders the comparison table."""
+    import numpy as np
+
+    from of_spmm_tpu import nn
+    from of_spmm_tpu.autoprof import profile_module, table
+
+    x = np.random.default_rng(0).standard_normal((8, 16)).astype(np.float32)
+    row = profile_module(nn.Linear(16, 8), (x,), iters=3, warmup=1)
+    assert row.ours_ms > 0
+    assert row.torch_ms is None or row.torch_ms > 0
+    text = table([row])
+    assert "Linear" in text and "ours ms" in text
