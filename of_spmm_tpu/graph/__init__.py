@@ -250,6 +250,31 @@ class TrainGraph:
         self.step_count += 1
         return metrics
 
+    # --- checkpoint surface (reference: nn.Graph state_dict/load_state_dict
+    # incl. resumed train step + lr state, nn/graph/graph.py:325-408) ------
+
+    def state_dict(self) -> dict:
+        return {
+            "params": self.params,
+            "state": self.state,
+            "step_count": jnp.asarray(self.step_count, jnp.int64),
+        }
+
+    def load_state_dict(self, sd: dict) -> None:
+        self.params = sd["params"]
+        self.state = sd["state"]
+        self.step_count = int(sd["step_count"])
+
+    def save(self, path: str) -> None:
+        from of_spmm_tpu.utils.checkpoint import save_checkpoint
+
+        save_checkpoint(path, self.state_dict())
+
+    def load(self, path: str) -> None:
+        from of_spmm_tpu.utils.checkpoint import load_checkpoint
+
+        self.load_state_dict(load_checkpoint(path, self.state_dict()))
+
 
 class EvalGraph:
     """Compiled inference graph (nn.Graph eval shape)."""

@@ -152,3 +152,43 @@ def test_train_graph_object_wrapper():
         m = g(x, y)
     assert float(m["loss"]) < float(m0["loss"])
     assert g.step_count == 21
+
+
+def test_train_graph_checkpoint_resume(tmp_path):
+    """Save at step k, keep training; reload and retrain -> identical
+    params (the reference's resumed train-step semantics)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from of_spmm_tpu import nn, optim
+    from of_spmm_tpu.graph import GraphConfig, TrainGraph
+
+    model = nn.Linear(6, 3)
+    params = model.init(jax.random.key(0))
+    rng = np.random.default_rng(0)
+    xs = [jnp.asarray(rng.standard_normal((8, 6)).astype(np.float32))
+          for _ in range(6)]
+    ys = [jnp.asarray(rng.standard_normal((8, 3)).astype(np.float32))
+          for _ in range(6)]
+
+    def loss_fn(p, x, y):
+        return jnp.mean((model.apply(p, x) - y) ** 2)
+
+    g = TrainGraph(loss_fn, optim.adam(1e-2), params)
+    for i in range(3):
+        g(xs[i], ys[i])
+    ckpt = str(tmp_path / "g.npz")
+    g.save(ckpt)
+    for i in range(3, 6):
+        g(xs[i], ys[i])
+    final_a = jax.tree_util.tree_leaves(g.params)
+
+    g2 = TrainGraph(loss_fn, optim.adam(1e-2), params)
+    g2.load(ckpt)
+    assert g2.step_count == 3
+    for i in range(3, 6):
+        g2(xs[i], ys[i])
+    final_b = jax.tree_util.tree_leaves(g2.params)
+    for a, b in zip(final_a, final_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
