@@ -226,16 +226,33 @@ def bin_rows_tiered(
     # --- build per-(tier, width) ELL buckets ------------------------------
     # tier -1 (cold) first: its gather table is the full X (original cols,
     # positions routed through cold_idx back to original nnz slots).
+    # One lexsort groups chunks by (tier, width); each bucket is then a
+    # contiguous slice — the naive per-bucket boolean mask re-scans the
+    # full chunk list n_tiers*n_widths times (measured 20+ min on 123M nnz
+    # at 75 tiers; this path is seconds).
+    order = np.lexsort((width_idx, chunk_tier))
+    s_tier = chunk_tier[order]
+    s_width = width_idx[order]
+    group_key = (s_tier + 1) * (len(ladder) + 1) + s_width
+    g_bounds = np.nonzero(
+        np.concatenate([[True], group_key[1:] != group_key[:-1]])
+    )[0]
+    g_ends = np.concatenate([g_bounds[1:], [order.shape[0]]])
+
     tier_blocks = []
     real_rids = []  # per emitted bucket (concat order): real row ids
     bucket_totals = []
+    groups_by_tier: dict = {}
+    for lo, hi in zip(g_bounds, g_ends):
+        groups_by_tier.setdefault(int(s_tier[lo]), []).append(
+            (int(s_width[lo]), order[lo:hi])
+        )
     for t in [-1] + list(range(n_tiers)):
-        t_sel = chunk_tier == t
-        if not t_sel.any():
+        if t not in groups_by_tier:
             continue
         buckets = []
-        for wi, w in enumerate(ladder):
-            sel = np.nonzero(t_sel & (width_idx == wi))[0]
+        for wi, sel in groups_by_tier[t]:
+            w = ladder[wi]
             nsel = sel.shape[0]
             if nsel == 0:
                 continue
