@@ -46,12 +46,13 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         csr, cfg = load_graph(name, symmetrize=True)
         csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
         return (
-            make_operator(csr, place=False, tier_size=tier_size),
+            make_operator(csr, place=False, tier_size=tier_size,
+                          keep_coo=False),
             csr.nnz, csr.shape,
         )
 
     ts_key = f"|ts{tier_size}" if tier_size else ""
-    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v3{ts_key}", build)
+    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}", build)
     log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({time.time()-t0:.1f}s)")
     t0 = time.time()
     op = place_operator(op)

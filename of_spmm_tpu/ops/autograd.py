@@ -180,6 +180,7 @@ def make_operator(
     place: bool = True,
     layout: str = "auto",
     tier_size: Optional[int] = None,
+    keep_coo: bool = True,
 ) -> SpmmOperator:
     """Build the plan: bin A and A^T (host-side, once per graph).
 
@@ -205,6 +206,15 @@ def make_operator(
 
     csr = CSR.from_coo(a) if isinstance(a, COO) else a
     coo = csr.to_coo()
+    if not keep_coo:
+        # drop the COO pattern (1.5GB HBM at 10^8 nnz) when the edge-list
+        # paths (spmv / sddmm / spmm_coo) are not needed — spmm-only use.
+        import numpy as _np
+
+        coo = type(coo).from_arrays(
+            _np.zeros(0, _np.int32), _np.zeros(0, _np.int32),
+            _np.zeros(0, _np.float32), csr.shape,
+        )
 
     def _place(op):
         return place_operator(op) if place else op
@@ -355,12 +365,21 @@ def spmm(op: SpmmOperator, x: jnp.ndarray, impl: str = "auto") -> jnp.ndarray:
     return spmm_internal(op, x, impl)
 
 
+def _require_coo(op: SpmmOperator, what: str) -> None:
+    if op.coo_rows.shape[0] == 0 and op.binned.nnz_padded > 0:
+        raise ValueError(
+            f"{what} needs the COO pattern, but this operator was built "
+            "with keep_coo=False (spmm-only)"
+        )
+
+
 def spmv(op: SpmmOperator, x: jnp.ndarray) -> jnp.ndarray:
     """Differentiable y = A @ x for a vector x (edge-list path).
 
     Differentiates through the gather/segment_sum pair above, so the
     backward is segment-sum of cotangents — exactly the reference pairing.
     """
+    _require_coo(op, "spmv")
     contrib = op.coo_vals * gather(x, op.coo_cols)
     return segment_sum(contrib, op.coo_rows, op.shape[0])
 
@@ -371,6 +390,7 @@ def sddmm(op: SpmmOperator, lhs: jnp.ndarray, rhs: jnp.ndarray) -> jnp.ndarray:
     Differentiable in lhs/rhs via the gather pair — this is the vals-grad
     path for edge-weight training (GAT-style models).
     """
+    _require_coo(op, "sddmm")
     le = gather(lhs, op.coo_rows)
     re = gather(rhs, op.coo_cols)
     return jnp.sum(le * re, axis=-1)

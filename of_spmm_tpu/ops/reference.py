@@ -300,9 +300,23 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
         else:
             xt = jax.lax.slice_in_dim(xa, t.tier * ts, (t.tier + 1) * ts, axis=0)
         for b in t.buckets:
-            contribs.append(bucket_contrib(xt, b))
+            contribs.append((b, bucket_contrib(xt, b)))
 
-    cat = contribs[0] if len(contribs) == 1 else jnp.concatenate(contribs, axis=0)
+    total_ell_rows = sum(c.shape[0] for _, c in contribs)
+    cat_bytes = total_ell_rows * d * jnp.dtype(acc).itemsize
+    if cat_bytes > int(FLAGS.get("OFS_TIERED_SCATTER_BYTES")):
+        # Large plans: the finish-gather path must materialize the full
+        # ELL-row concat TWICE (inputs + concatenate output — measured
+        # 2x2.9GB at 124M nnz, OOMing a 16GB chip together with the plan
+        # arrays). Combine by per-bucket sorted scatter-add instead: peak
+        # extra memory is one bucket's contribution.
+        out = jnp.zeros((tiled.n_rows, d), acc)
+        for b, c in contribs:
+            out = out.at[b.row_ids].add(c, indices_are_sorted=True)
+        return out.astype(x.dtype)
+
+    cat = (contribs[0][1] if len(contribs) == 1
+           else jnp.concatenate([c for _, c in contribs], axis=0))
     fin = tiled.finish
     out = gather(cat, fin.pos)
     if fin.extra_rids.shape[0]:

@@ -121,6 +121,14 @@ FLAGS.define_str(
     "auto",
     "Default op implementation: auto | xla | pallas.",
 )
+FLAGS.define_int(
+    "OFS_TIERED_SCATTER_BYTES",
+    1_500_000_000,
+    "Tiered-spmm combine strategy cutoff: plans whose ELL-row results "
+    "exceed this many bytes combine by per-bucket sorted scatter-add "
+    "(O(out + one bucket) memory) instead of the finish-gather over the "
+    "full concat (2x concat bytes, faster for small plans).",
+)
 
 
 def on_tpu() -> bool:

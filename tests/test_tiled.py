@@ -89,3 +89,50 @@ def test_tiered_padding_efficiency_reasonable():
     dense = (rng.random((256, 256)) < 0.1).astype(np.float32)
     tiled = bin_rows_tiered(CSR.from_dense(dense), tier_size=64)
     assert 0.4 < tiled.padding_efficiency(int(dense.sum())) <= 1.0
+
+
+def test_tiered_scatter_combine_matches_finish():
+    """The memory-lean per-bucket scatter-add combine == finish-gather."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.reference import spmm_tiered_xla
+    from of_spmm_tpu.sparse.formats import CSR
+    from of_spmm_tpu.sparse.tiled import bin_rows_tiered
+    from of_spmm_tpu.utils.config import FLAGS
+
+    rng = np.random.default_rng(0)
+    n = 300
+    dense = (rng.random((n, n)) < 0.05) * rng.random((n, n)).astype(np.float32)
+    csr = CSR.from_dense(dense.astype(np.float32))
+    tiled = bin_rows_tiered(csr, tier_size=64)
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+
+    want = spmm_tiered_xla(tiled, jnp.asarray(x))
+    FLAGS.override("OFS_TIERED_SCATTER_BYTES", 1)  # force scatter combine
+    try:
+        got = spmm_tiered_xla(tiled, jnp.asarray(x))
+    finally:
+        FLAGS.override("OFS_TIERED_SCATTER_BYTES", None)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(got), dense @ x, rtol=1e-4, atol=1e-5)
+
+
+def test_keep_coo_false_spmm_only():
+    import numpy as np
+    import jax.numpy as jnp
+    import pytest
+
+    from of_spmm_tpu.ops.autograd import make_operator, spmm, spmv
+    from of_spmm_tpu.sparse.formats import CSR
+
+    rng = np.random.default_rng(1)
+    dense = (rng.random((40, 40)) < 0.1) * rng.random((40, 40)).astype(np.float32)
+    csr = CSR.from_dense(dense.astype(np.float32))
+    op = make_operator(csr, place=False, keep_coo=False)
+    x = rng.standard_normal((40, 4)).astype(np.float32)
+    np.testing.assert_allclose(np.asarray(spmm(op, jnp.asarray(x))),
+                               dense @ x, rtol=1e-4, atol=1e-5)
+    with pytest.raises(ValueError, match="keep_coo"):
+        spmv(op, jnp.asarray(x[:, 0]))
