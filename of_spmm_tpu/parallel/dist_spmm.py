@@ -89,9 +89,52 @@ def dist_spmm(
     d = x.shape[1]
     xp = pad_x_for_plan(plan, x)
 
-    bucket_arrays = tuple(
-        (b.row_ids, b.cols, b.vals) for b in plan.buckets
-    )
+    def _arrays(buckets):
+        return tuple((b.row_ids, b.cols, b.vals) for b in buckets)
+
+    def _squeeze(buckets):
+        return tuple(
+            (r.reshape(r.shape[1:]), c.reshape(c.shape[1:]), v.reshape(v.shape[1:]))
+            for (r, c, v) in buckets
+        )
+
+    def _spmm(buckets, xcat):
+        binned = _local_binned(plan, _squeeze(buckets))
+        if impl == "pallas":
+            return spmm_pallas(binned, xcat)
+        return ref.spmm_binned_xla(binned, xcat)
+
+    if plan.split:
+        interior_arrays = _arrays(plan.interior_buckets)
+        boundary_arrays = _arrays(plan.boundary_buckets)
+
+        def body(send_idx, interior, boundary, x_local):
+            send_idx = send_idx.reshape(S, H)
+            send = jnp.take(x_local, send_idx.reshape(-1), axis=0) \
+                .reshape(S, H, d)
+            # issue the collective FIRST; interior compute has no data
+            # dependency on it, so XLA overlaps them (async collectives)
+            halo = jax.lax.all_to_all(
+                send, axis, split_axis=0, concat_axis=0, tiled=False)
+            y = _spmm(interior, x_local)  # overlaps with the all_to_all
+            xcat = jnp.concatenate([x_local, halo.reshape(S * H, d)], axis=0)
+            return y + _spmm(boundary, xcat)
+
+        shard = jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(
+                P(axis),
+                jax.tree_util.tree_map(lambda _: P(axis), interior_arrays),
+                jax.tree_util.tree_map(lambda _: P(axis), boundary_arrays),
+                P(axis),
+            ),
+            out_specs=P(axis),
+        )
+        out = shard(plan.send_idx, interior_arrays, boundary_arrays, xp)
+        return out[: plan.shape[0]]
+
+    bucket_arrays = _arrays(plan.buckets)
 
     def body(send_idx, buckets, x_local):
         send_idx = send_idx.reshape(S, H)  # (1, S, H) -> (S, H)
@@ -101,14 +144,7 @@ def dist_spmm(
         halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
         # 3) local row-binned SpMM over [own rows ; halo buffer]
         xcat = jnp.concatenate([x_local, halo.reshape(S * H, d)], axis=0)
-        squeezed = tuple(
-            (r.reshape(r.shape[1:]), c.reshape(c.shape[1:]), v.reshape(v.shape[1:]))
-            for (r, c, v) in buckets
-        )
-        binned = _local_binned(plan, squeezed)
-        if impl == "pallas":
-            return spmm_pallas(binned, xcat)
-        return ref.spmm_binned_xla(binned, xcat)
+        return _spmm(buckets, xcat)
 
     shard = jax.shard_map(
         body,

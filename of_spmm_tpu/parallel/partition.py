@@ -63,7 +63,16 @@ class StackedBucket:
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class RowPartitionPlan:
-    """Static halo-exchange plan for Y = A @ X row-partitioned over S shards."""
+    """Static halo-exchange plan for Y = A @ X row-partitioned over S shards.
+
+    Built with ``split_boundary=True``, the per-shard ELL rows are divided
+    into INTERIOR rows (every nonzero hits shard-local X) and BOUNDARY rows
+    (at least one halo reference): ``buckets`` is then empty and
+    ``interior_buckets``/``boundary_buckets`` carry the work. dist_spmm
+    computes interior rows while the halo all_to_all is in flight (XLA
+    schedules the collective asynchronously when no data dependency forces
+    serialization), and interior gathers index the smaller local-only
+    table — the overlap the reference gets from its actor dataflow."""
 
     buckets: Tuple[StackedBucket, ...]
     send_idx: jnp.ndarray  # (S, S, H) int32: p sends own-local X rows
@@ -73,20 +82,29 @@ class RowPartitionPlan:
     rows_per_shard: int  # output rows per shard (padded)
     cols_per_shard: int  # X rows per shard (padded)
     halo_size: int  # H
+    interior_buckets: Optional[Tuple[StackedBucket, ...]] = None
+    boundary_buckets: Optional[Tuple[StackedBucket, ...]] = None
 
     def tree_flatten(self):
-        children = (self.buckets, self.send_idx)
+        children = (self.buckets, self.send_idx, self.interior_buckets,
+                    self.boundary_buckets)
         aux = (self.shape, self.n_shards, self.rows_per_shard,
                self.cols_per_shard, self.halo_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        buckets, send_idx = children
+        buckets, send_idx, interior, boundary = children
         shape, s, rps, cps, h = aux
         return cls(buckets=tuple(buckets), send_idx=send_idx, shape=shape,
                    n_shards=s, rows_per_shard=rps, cols_per_shard=cps,
-                   halo_size=h)
+                   halo_size=h,
+                   interior_buckets=None if interior is None else tuple(interior),
+                   boundary_buckets=None if boundary is None else tuple(boundary))
+
+    @property
+    def split(self) -> bool:
+        return self.interior_buckets is not None
 
     @property
     def halo_fraction(self) -> float:
@@ -98,6 +116,7 @@ def partition_rows(
     csr: CSR,
     n_shards: int,
     ladder="auto",
+    split_boundary: bool = False,
 ) -> RowPartitionPlan:
     """Build the plan (host-side, once per graph x shard count).
 
@@ -176,14 +195,53 @@ def partition_rows(
             local_indptr = np.concatenate(
                 [local_indptr, np.full(pad_rows, local_indptr[-1], np.int64)]
             )
-        local_csr = CSR.from_arrays(
-            local_indptr.astype(np.int32),
-            remapped.astype(np.int32),
-            v,
-            (rps, cps + S * H),
-        )
-        per_shard_binned.append(bin_rows(local_csr, ladder=ladder))
+        if split_boundary:
+            # a row is BOUNDARY iff any of its nnz references halo
+            # (remapped col >= cps); interior rows gather only local X.
+            is_halo = (remapped >= cps).astype(np.int64)
+            cum = np.zeros(remapped.shape[0] + 1, np.int64)
+            np.cumsum(is_halo, out=cum[1:])
+            row_halo = (cum[local_indptr[1:]] - cum[local_indptr[:-1]]) > 0
 
+            def masked_csr(keep_rows: np.ndarray) -> CSR:
+                keep_nnz = np.repeat(keep_rows, np.diff(local_indptr))
+                counts = np.diff(local_indptr) * keep_rows
+                ip = np.zeros(local_indptr.shape[0], np.int64)
+                np.cumsum(counts, out=ip[1:])
+                return CSR.from_arrays(
+                    ip.astype(np.int32),
+                    remapped[keep_nnz].astype(np.int32),
+                    v[keep_nnz],
+                    (rps, cps + S * H),
+                )
+
+            per_shard_binned.append(
+                (bin_rows(masked_csr(~row_halo), ladder=ladder),
+                 bin_rows(masked_csr(row_halo), ladder=ladder))
+            )
+        else:
+            local_csr = CSR.from_arrays(
+                local_indptr.astype(np.int32),
+                remapped.astype(np.int32),
+                v,
+                (rps, cps + S * H),
+            )
+            per_shard_binned.append(bin_rows(local_csr, ladder=ladder))
+
+    if split_boundary:
+        interior = _stack_binned([a for a, _ in per_shard_binned], ladder)
+        boundary = _stack_binned([b for _, b in per_shard_binned], ladder)
+        return RowPartitionPlan(
+            buckets=(),
+            send_idx=jnp.asarray(send_idx),
+            shape=csr.shape,
+            n_shards=S,
+            rows_per_shard=rps,
+            cols_per_shard=cps,
+            halo_size=H,
+            interior_buckets=interior,
+            boundary_buckets=boundary,
+        )
     buckets = _stack_binned(per_shard_binned, ladder)
     return RowPartitionPlan(
         buckets=buckets,

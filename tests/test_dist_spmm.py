@@ -85,3 +85,37 @@ def test_dist_spmm_under_jit():
         f = jax.jit(lambda xx: dist_spmm(plan, xx, mesh))
         y = f(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL, atol=1e-3)
+
+
+def test_dist_spmm_split_boundary_matches(mesh8):
+    """Interior/boundary-split plan (comm/compute overlap) == unsplit plan
+    == dense reference, forward and gradient."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from of_spmm_tpu.parallel.dist_spmm import dist_spmm
+    from of_spmm_tpu.parallel.partition import partition_rows
+    from of_spmm_tpu.sparse.formats import CSR
+
+    rng = np.random.default_rng(7)
+    n = 96
+    dense = ((rng.random((n, n)) < 0.08) * rng.random((n, n))).astype(np.float32)
+    csr = CSR.from_dense(dense)
+    x = jnp.asarray(rng.standard_normal((n, 16)).astype(np.float32))
+
+    plan = partition_rows(csr, 8)
+    plan_split = partition_rows(csr, 8, split_boundary=True)
+    assert plan_split.split and not plan.split
+
+    y0 = dist_spmm(plan, x, mesh8)
+    y1 = dist_spmm(plan_split, x, mesh8)
+    np.testing.assert_allclose(np.asarray(y1), np.asarray(y0),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(y1), dense @ np.asarray(x),
+                               rtol=1e-4, atol=1e-5)
+
+    g0 = jax.grad(lambda xx: jnp.sum(dist_spmm(plan, xx, mesh8) ** 2))(x)
+    g1 = jax.grad(lambda xx: jnp.sum(dist_spmm(plan_split, xx, mesh8) ** 2))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)
