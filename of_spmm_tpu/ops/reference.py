@@ -305,18 +305,21 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
     total_ell_rows = sum(c.shape[0] for _, c in contribs)
     cat_bytes = total_ell_rows * d * jnp.dtype(acc).itemsize
     if cat_bytes > int(FLAGS.get("OFS_TIERED_SCATTER_BYTES")):
-        # Large plans: the finish-gather path must materialize the full
-        # ELL-row concat TWICE (inputs + concatenate output — measured
-        # 2x2.9GB at 124M nnz, OOMing a 16GB chip together with the plan
-        # arrays). Combine by per-bucket sorted scatter-add instead: peak
-        # extra memory is one bucket's contribution.
-        out = jnp.zeros((tiled.n_rows, d), acc)
-        for b, c in contribs:
-            out = out.at[b.row_ids].add(c, indices_are_sorted=True)
-        return out.astype(x.dtype)
-
-    cat = (contribs[0][1] if len(contribs) == 1
-           else jnp.concatenate([c for _, c in contribs], axis=0))
+        # Large plans: one jnp.concatenate would hold every contribution
+        # AND the result live at once (2x cat bytes — OOMs a 16GB chip at
+        # 124M nnz together with the plan arrays). Assemble instead with
+        # static-offset dynamic_update_slice into one preallocated buffer:
+        # XLA updates in place, and each contribution's buffer dies right
+        # after its insertion. (A per-bucket scatter-add combine was tried
+        # first and measured 300+ scatters x 1.2GB output copies = 3s.)
+        cat = jnp.zeros((total_ell_rows, d), acc)
+        off = 0
+        for _, c in contribs:
+            cat = jax.lax.dynamic_update_slice(cat, c, (off, 0))
+            off += c.shape[0]
+    else:
+        cat = (contribs[0][1] if len(contribs) == 1
+               else jnp.concatenate([c for _, c in contribs], axis=0))
     fin = tiled.finish
     out = gather(cat, fin.pos)
     if fin.extra_rids.shape[0]:
