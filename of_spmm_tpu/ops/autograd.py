@@ -309,12 +309,34 @@ def _select_impl(impl: str) -> str:
     return impl
 
 
+def _pallas_cold_bucket(bucket, x_full: jnp.ndarray) -> jnp.ndarray:
+    """Cold-bucket engine for tiered plans: per-row DMA gather (Pallas).
+
+    Table-size independent (~340 Mrows/s on v5e) vs XLA's ~63 Mrows/s
+    multi-megarow gather slow path — cold chunks gather from the FULL
+    feature table, so they are exactly the slow case.
+    """
+    from of_spmm_tpu.ops.pallas.spmm import _bucket_contrib, _pad_features
+    from of_spmm_tpu.utils.config import pallas_interpret_default
+
+    xp, d = _pad_features(x_full)
+    return _bucket_contrib(bucket, xp, pallas_interpret_default())[:, :d]
+
+
 def _spmm_impl(binned, x: jnp.ndarray, impl: str) -> jnp.ndarray:
     from of_spmm_tpu.sparse.tiled import TieredEll
 
     if isinstance(binned, TieredEll):
-        # tiered layout has one compute path (the tiering IS the kernel
-        # strategy); "pallas"/"xla" both route here.
+        # tiered layout: one tiling strategy, two cold-bucket engines —
+        # "xla" is the pure-XLA oracle; "pallas" swaps the cold (full-
+        # table) buckets onto the per-row-DMA kernel.
+        if impl == "pallas":
+            from of_spmm_tpu.ops.pallas.spmm import gather_rows_pallas
+
+            return ref.spmm_tiered_xla(
+                binned, x, cold_bucket_fn=_pallas_cold_bucket,
+                gather_fn=gather_rows_pallas,
+            )
         return ref.spmm_tiered_xla(binned, x)
     if impl == "pallas":
         return spmm_pallas(binned, x)

@@ -125,6 +125,83 @@ def _bucket_contrib(bucket: EllBucket, x: jnp.ndarray, interpret: bool) -> jnp.n
     return contrib
 
 
+_GATHER_TILE = 1024  # rows per grid step; (TILE/128, 128) SMEM index block
+# must keep TILE/128 a multiple of 8 (Mosaic sublane divisibility)
+
+
+def _gather_kernel(idx_ref, tab_ref, out_ref, sem_ref, *, T, W):
+    """DMA out_ref[g] <- tab[idx[g]] for g in [0, T); wave-pipelined."""
+    NW = pl.cdiv(T, W)
+
+    def dma(g):
+        c = idx_ref[g // _LANES, g % _LANES]
+        return pltpu.make_async_copy(tab_ref.at[c], out_ref.at[g], sem_ref)
+
+    def issue(w, _):
+        for j in range(W):
+            g = w * W + j
+
+            @pl.when(g < T)
+            def _():
+                dma(g).start()
+        return 0
+
+    def wait(w, _):
+        for j in range(W):
+            g = w * W + j
+
+            @pl.when(g < T)
+            def _():
+                dma(g).wait()
+        return 0
+
+    jax.lax.fori_loop(0, NW, issue, 0)
+    jax.lax.fori_loop(0, NW, wait, 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+    T = _GATHER_TILE
+    M = idx.shape[0]
+    pad = -M % T
+    idxp = jnp.pad(idx, (0, pad)).reshape(-1, _LANES)
+    grid = ((M + pad) // T,)
+    D = table.shape[1]
+    kernel = functools.partial(_gather_kernel, T=T, W=min(16, T))
+    out = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((T // _LANES, _LANES), lambda i: (i, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((T, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M + pad, D), table.dtype),
+        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        interpret=interpret,
+    )(idxp, table)
+    return out[:M]
+
+
+def gather_rows_pallas(
+    table: jnp.ndarray, idx: jnp.ndarray, interpret: Optional[bool] = None
+) -> jnp.ndarray:
+    """out[i] = table[idx[i]] via per-row async DMA (row gather).
+
+    Table-size independent (~340 Mrows/s on v5e at d=128) where XLA's
+    take collapses to ~63 Mrows/s beyond ~131072-row tables — used for
+    the tiered-spmm finish permutation and cold buckets, whose gathers
+    read multi-megarow concatenations. Semantics match the reference
+    gather minus the bounds-check zero-fill (plan-time indices are
+    always in range; reference: oneflow/user/kernels/gather_kernel_util.cu).
+    """
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    xp, d = _pad_features(table)
+    return _gather_rows(xp, idx.astype(jnp.int32), interpret)[:, :d]
+
+
 def spmm_pallas(
     binned: BinnedEll,
     x: jnp.ndarray,

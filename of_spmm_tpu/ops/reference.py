@@ -242,11 +242,23 @@ def combine_contribs(binned: BinnedEll, contribs, acc) -> jnp.ndarray:
     return out
 
 
-def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
+def spmm_tiered_xla(tiled, x: jnp.ndarray, cold_bucket_fn=None,
+                    gather_fn=None) -> jnp.ndarray:
     """Column-tiered SpMM (see sparse/tiled.py): per tier, slice X to a
     fast-gather-path table (<= 131072 rows on v5e sustains ~400 Mrows/s vs
     ~63 Mrows/s for multi-megarow tables), gather + weighted-reduce each
     width bucket, then assemble rows with the plan-time Finish permutation.
+
+    ``cold_bucket_fn(bucket, x_full) -> (R, d) fp32 partials``: optional
+    override for the COLD (tier -1, full-table) buckets, whose XLA gather
+    runs at the ~63 Mrows/s slow path. The Pallas per-row-DMA kernel
+    (ops/pallas/spmm.py) sustains ~340 Mrows/s independent of table size;
+    autograd injects it for impl="pallas" so this module stays the pure
+    XLA oracle.
+
+    ``gather_fn(table, idx) -> rows``: optional override for the finish
+    permutation gathers, which read from the multi-megarow contribution
+    concat (same XLA slow path; Pallas row-DMA gather injected likewise).
 
     The per-bucket reduce is an explicit multiply + sum (VPU loop fusion);
     an einsum would lower to a batched 1xK matvec the MXU handles poorly.
@@ -300,7 +312,10 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
         else:
             xt = jax.lax.slice_in_dim(xa, t.tier * ts, (t.tier + 1) * ts, axis=0)
         for b in t.buckets:
-            contribs.append((b, bucket_contrib(xt, b)))
+            if t.tier < 0 and cold_bucket_fn is not None:
+                contribs.append((b, cold_bucket_fn(b, xt).astype(acc)))
+            else:
+                contribs.append((b, bucket_contrib(xt, b)))
 
     total_ell_rows = sum(c.shape[0] for _, c in contribs)
     cat_bytes = total_ell_rows * d * jnp.dtype(acc).itemsize
@@ -321,10 +336,11 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray) -> jnp.ndarray:
         cat = (contribs[0][1] if len(contribs) == 1
                else jnp.concatenate([c for _, c in contribs], axis=0))
     fin = tiled.finish
-    out = gather(cat, fin.pos)
+    g = gather_fn if gather_fn is not None else gather
+    out = g(cat, fin.pos)
     if fin.extra_rids.shape[0]:
         out = out.at[fin.extra_rids].add(
-            jnp.take(cat, fin.extra_idx, axis=0), indices_are_sorted=True
+            g(cat, fin.extra_idx), indices_are_sorted=True
         )
     return out.astype(x.dtype)
 

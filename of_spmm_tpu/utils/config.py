@@ -111,7 +111,7 @@ FLAGS.define_bool(
 )
 FLAGS.define_int(
     "OFS_SPMM_MAX_GATHER_SLOTS",
-    8 * 1024 * 1024,
+    2 * 1024 * 1024,
     "Max (rows*width) slots one tiered-spmm bucket may gather at once; "
     "larger buckets chunk via lax.map (bounds the materialized block: "
     "slots * d * 4 bytes of HBM).",

@@ -136,3 +136,26 @@ def test_keep_coo_false_spmm_only():
                                dense @ x, rtol=1e-4, atol=1e-5)
     with pytest.raises(ValueError, match="keep_coo"):
         spmv(op, jnp.asarray(x[:, 0]))
+
+
+def test_tiered_pallas_cold_engine_matches_xla():
+    """impl="pallas" on a tiered plan swaps cold buckets onto the DMA
+    kernel (interpret-mode on CPU); results must match the XLA oracle."""
+    from of_spmm_tpu.ops.autograd import spmm_internal
+
+    dense = _rand(300, 600, density=0.04, seed=9)
+    op = make_operator(CSR.from_dense(dense), layout="tiered", tier_size=128)
+    assert isinstance(op.binned, TieredEll)
+    # the random pattern must actually produce cold (tier -1) chunks
+    assert any(t.tier < 0 for t in op.binned.tiers)
+    x = jnp.asarray(
+        np.random.default_rng(10).standard_normal((600, 16)).astype(np.float32)
+    )
+    y_xla = spmm_internal(op, x, impl="xla")
+    y_pal = spmm_internal(op, x, impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(y_pal), np.asarray(y_xla), rtol=RTOL, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(y_xla), dense @ np.asarray(x), rtol=RTOL, atol=1e-3
+    )

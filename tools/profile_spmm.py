@@ -27,7 +27,8 @@ def log(*a):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--graph", default="ogbn-products")
-    ap.add_argument("--tier-size", type=int, default=32768)
+    ap.add_argument("--tier-size", type=int, default=None,
+                    help="tier size of the cached plan; default = bench.py's key")
     ap.add_argument("--d", type=int, default=128)
     args = ap.parse_args()
 
@@ -38,7 +39,8 @@ def main():
     from of_spmm_tpu.utils.roofline import time_chained, SpmmTraffic
     from of_spmm_tpu.sparse.tiled import TieredEll
 
-    key = f"{args.graph}|sym|gcn-norm|auto-ladder|v4|ts{args.tier_size}"
+    ts_key = f"|ts{args.tier_size}" if args.tier_size else ""
+    key = f"{args.graph}|sym|gcn-norm|auto-ladder|v4{ts_key}"
     got = cached("op", key, lambda: (_ for _ in ()).throw(
         RuntimeError(f"no cached op for {key}; run bench.py first")))
     op, nnz, shape = got
