@@ -25,3 +25,11 @@ __all__ = [
     "sbp_to_spec",
     "materialize_partial",
 ]
+from of_spmm_tpu.parallel.tp import (
+    column_parallel_linear,
+    init_tp_mlp,
+    make_tp_mlp,
+    row_parallel_linear,
+    shard_tp_mlp,
+    tp_mlp_block,
+)
