@@ -5,6 +5,7 @@ from of_spmm_tpu.models.gat import GAT
 from of_spmm_tpu.models.sharded_embedding import ShardedEmbedding
 from of_spmm_tpu.models.resnet import ResNet, resnet50, resnet101
 from of_spmm_tpu.models.transformer import TransformerEncoder, bert_base, bert_tiny
+from of_spmm_tpu.models.vision import VGG16, AlexNet, vgg16, alexnet
 
 __all__ = [
     "GCN",
@@ -20,4 +21,8 @@ __all__ = [
     "TransformerEncoder",
     "bert_base",
     "bert_tiny",
+    "VGG16",
+    "AlexNet",
+    "vgg16",
+    "alexnet",
 ]

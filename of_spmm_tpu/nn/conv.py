@@ -149,7 +149,9 @@ class AvgPool2d:
 
 @dataclasses.dataclass(frozen=True)
 class AdaptiveAvgPool2d:
-    """Output-size-1 global pooling (the common ResNet head case)."""
+    """Adaptive average pooling for output sizes that divide the input
+    (torch semantics match exactly in that case — the common one: the
+    ResNet (1,1) head and AlexNet's (6,6))."""
 
     output_size: Union[int, Tuple[int, int]] = 1
 
@@ -158,6 +160,14 @@ class AdaptiveAvgPool2d:
 
     def apply(self, params, x, *, train=False, rng=None):
         oh, ow = _pair(self.output_size)
-        if (oh, ow) != (1, 1):
-            raise NotImplementedError("only global (1,1) adaptive pooling")
-        return jnp.mean(x, axis=(2, 3), keepdims=True)
+        if (oh, ow) == (1, 1):
+            return jnp.mean(x, axis=(2, 3), keepdims=True)
+        h, w = x.shape[2], x.shape[3]
+        if (h, w) == (oh, ow):
+            return x
+        if h % oh or w % ow:
+            raise NotImplementedError(
+                f"adaptive pooling needs output {oh}x{ow} to divide input "
+                f"{h}x{w}")
+        kh, kw = h // oh, w // ow
+        return AvgPool2d((kh, kw), stride=(kh, kw)).apply({}, x)

@@ -61,3 +61,16 @@ def test_bert_hidden_states():
     toks = jnp.zeros((1, 8), jnp.int32)
     h = model.apply(params, toks)
     assert h.shape == (1, 8, 128)
+
+
+def test_vgg16_alexnet_forward():
+    from of_spmm_tpu.models import alexnet, vgg16
+
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, 3, 224, 224)).astype(np.float32))
+    for mk in (vgg16, alexnet):
+        model = mk(n_classes=10)
+        params = model.init(jax.random.key(0))
+        logits = model.apply(params, x)
+        assert logits.shape == (1, 10)
+        assert np.isfinite(np.asarray(logits)).all()
