@@ -33,3 +33,9 @@ from of_spmm_tpu.parallel.tp import (
     shard_tp_mlp,
     tp_mlp_block,
 )
+from of_spmm_tpu.parallel.sp import (
+    SequenceParallelAttention,
+    head_to_sequence,
+    sequence_to_head,
+    ulysses_attention,
+)

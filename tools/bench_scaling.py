@@ -19,6 +19,11 @@ ideal nnz/s grows linearly with shards; efficiency = (nnz/s at S shards) /
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import json
 import sys

@@ -15,6 +15,11 @@ import argparse
 import sys
 import time
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -82,9 +87,12 @@ def main():
                  vals_p.reshape(nchunk, rows_per, K)))
             return out.reshape(-1, out.shape[-1])[:R]
 
-        def f(xq, s):
+        def f(tl, xq, s):
+            # tl passed as a pytree ARGUMENT: closing over the plan would
+            # bake its arrays into the HLO as literals (the tunneled
+            # compile service rejects >100MB programs).
             acc = jnp.zeros((d,), jnp.float32)
-            for t in tiled.tiers:
+            for t in tl.tiers:
                 if which == "hot" and t.tier < 0:
                     continue
                 if which == "cold" and t.tier >= 0:
@@ -112,14 +120,14 @@ def main():
         f = phase_fn(kind, which)
 
         def mk(k):
-            def body_fn(xq):
+            def body_fn(tl, xq):
                 def body(i, acc):
-                    return acc + f(xq, i)[0]
+                    return acc + f(tl, xq, i)[0]
                 return jax.lax.fori_loop(0, k, body, jnp.float32(0))
             return jax.jit(body_fn)
 
         try:
-            sec = time_chained(mk, xp, k1=1, iters=5, est_iter_s=0.3)
+            sec = time_chained(mk, tiled, xp, k1=1, iters=5, est_iter_s=0.3)
         except Exception as e:  # noqa: BLE001
             log(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
             return
