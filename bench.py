@@ -23,7 +23,7 @@ def log(*a):
 
 
 def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas"),
-                tier_size=None):
+                tier_size=None, layout="auto"):
     """Time Y = A @ X per impl with delta timing: k1 vs k2 chained SpMMs
     inside one jitted computation (y <- A_hat y on the normalized adjacency,
     so values stay bounded); the difference cancels the fixed per-call
@@ -47,12 +47,14 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
         return (
             make_operator(csr, place=False, tier_size=tier_size,
-                          keep_coo=False),
+                          keep_coo=False, layout=layout),
             csr.nnz, csr.shape,
         )
 
     ts_key = f"|ts{tier_size}" if tier_size else ""
-    op, nnz, shape = cached("op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}", build)
+    ly_key = f"|ly-{layout}" if layout != "auto" else ""
+    op, nnz, shape = cached(
+        "op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}{ly_key}", build)
     log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({time.time()-t0:.1f}s)")
     t0 = time.time()
     op = place_operator(op)
@@ -154,6 +156,9 @@ def main():
     ap.add_argument("--impls", default="xla,pallas")
     ap.add_argument("--tier-size", type=int, default=None,
                     help="column tier size override (sparse/tiled.py)")
+    ap.add_argument("--layout", default="auto",
+                    choices=("auto", "binned", "tiered"),
+                    help="plan layout (ops/autograd.py make_operator)")
     ap.add_argument("--op", default="spmm", choices=("spmm", "spgemm"),
                     help="which benchmark to run")
     ap.add_argument("--sweep", action="store_true", help="also run the small graphs")
@@ -174,10 +179,10 @@ def main():
     if args.sweep:
         for g in ["cora", "citeseer", "ogbn-arxiv", "reddit-small"]:
             bench_graph(g, d=args.d, iters=args.iters, impls=impls,
-                        tier_size=args.tier_size)
+                        tier_size=args.tier_size, layout=args.layout)
 
     results = bench_graph(args.graph, d=args.d, iters=args.iters, impls=impls,
-                          tier_size=args.tier_size)
+                          tier_size=args.tier_size, layout=args.layout)
     best_name, best = max(
         results.items(), key=lambda kv: kv[1]["roofline_fraction"], default=(None, None)
     )

@@ -37,53 +37,52 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from of_spmm_tpu.sparse.binned import BinnedEll, EllBucket
-from of_spmm_tpu.utils.config import pallas_interpret_default
+from of_spmm_tpu.utils.config import FLAGS, pallas_interpret_default
 
 TILE_ROWS = 8  # f32 sublane count; ELL row tiles per grid step
 _LANES = 128
 
 
-def _bucket_kernel(cols_ref, vals_ref, x_ref, out_ref, gath_ref, sem_ref, *, K, D, W):
-    """One grid step: gather 8*K rows of X, contract, emit (8, D) tile.
+def _bucket_kernel(cols_ref, vals_ref, x_ref, out_ref, gath_ref, sem_ref, *,
+                   TR, K, D, W, NSEM):
+    """One grid step: gather TR*K rows of X, contract, emit a (TR, D) tile.
 
-    Synchronization: every row DMA signals ONE shared semaphore; after all
-    copies are issued the kernel performs one matching wait per copy.
-    Counts accumulate, so completion order is irrelevant and no semaphore
-    slot is ever reused while in flight — verified race-free on hardware
-    (a per-wave parity scheme measurably raced).
+    Row DMAs run in waves of W, software-pipelined: wave w+1 is issued
+    before wave w is waited, keeping 2 waves (2W copies) in flight — on the
+    attached v5 chip this sustains ~346 Mrows/s where issue-all-then-wait-
+    all measured 73 (queue thrash) [tools/microbench_gather2.py dma_deep].
+    Waves cycle NSEM semaphores; a semaphore is reused only after its
+    previous wave fully drained (wait happens one wave behind issue).
     """
-    T = TILE_ROWS * K  # row-gathers this tile
-    NW = pl.cdiv(T, W)  # issue waves (last wave masked when W doesn't divide T)
+    T = TR * K  # row-gathers this tile
 
-    def dma(g):
-        # works for both python-int and traced g
-        r = g // K
-        k = g % K
-        c = cols_ref[r, k]
-        return pltpu.make_async_copy(x_ref.at[c], gath_ref.at[g], sem_ref)
+    def dma(g, sem_slot):
+        c = cols_ref[g // K, g % K]
+        return pltpu.make_async_copy(x_ref.at[c], gath_ref.at[g],
+                                     sem_ref.at[sem_slot])
 
-    def issue(w, _):
-        for j in range(W):  # static unroll over wave slots
-            g = w * W + j
+    def wave_bounds(w):
+        return w * W, min((w + 1) * W, T)
 
-            @pl.when(g < T)
-            def _():
-                dma(g).start()
-        return 0
+    NW = pl.cdiv(T, W)
 
-    def wait(w, _):
-        for j in range(W):
-            g = w * W + j
+    def issue(w):
+        lo, hi = wave_bounds(w)
+        for g in range(lo, hi):  # static unroll
+            dma(g, w % NSEM).start()
 
-            @pl.when(g < T)
-            def _():
-                dma(g).wait()
-        return 0
+    def wait(w):
+        lo, hi = wave_bounds(w)
+        for g in range(lo, hi):
+            dma(g, w % NSEM).wait()
 
-    jax.lax.fori_loop(0, NW, issue, 0)
-    jax.lax.fori_loop(0, NW, wait, 0)
+    issue(0)
+    for w in range(NW):  # static pipelined unroll
+        if w + 1 < NW:
+            issue(w + 1)
+        wait(w)
 
-    gath = gath_ref[:].reshape(TILE_ROWS, K, D)
+    gath = gath_ref[:].reshape(TR, K, D)
     out_ref[:] = jnp.sum(vals_ref[:][:, :, None] * gath, axis=1)
 
 
@@ -95,79 +94,91 @@ def _pad_features(x: jnp.ndarray):
     return x, d
 
 
+def _tile_rows(K: int, target_slots: int = 1024) -> int:
+    """ELL rows per grid step: ~target_slots row-gathers, multiple of 8."""
+    return max(8, (target_slots // K) // 8 * 8)
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _bucket_contrib(bucket: EllBucket, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
     """Partial results (R, d) for one bucket (padded feature dim)."""
     R, K = bucket.cols.shape
     D = x.shape[1]
-    W = min(16, TILE_ROWS * K)
+    # interpret mode: tiny tiles/waves (the static DMA unroll would blow up
+    # trace size; CPU interpret is for correctness, not throughput)
+    TR = _tile_rows(K, target_slots=64 if interpret else 1024)
+    T = TR * K
+    W = min(8 if interpret else int(FLAGS.get("OFS_DMA_WAVE")), T)
+    NSEM = min(int(FLAGS.get("OFS_DMA_NSEM")), pl.cdiv(T, W))
 
-    kernel = functools.partial(_bucket_kernel, K=K, D=D, W=W)
-    grid = (R // TILE_ROWS,)
+    kernel = functools.partial(_bucket_kernel, TR=TR, K=K, D=D, W=W, NSEM=NSEM)
+    pad = -R % TR
+    cols = bucket.cols
     vals = bucket.vals.astype(jnp.float32)
+    if pad:
+        cols = jnp.pad(cols, ((0, pad), (0, 0)))
+        vals = jnp.pad(vals, ((0, pad), (0, 0)))
+    grid = ((R + pad) // TR,)
 
     contrib = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TILE_ROWS, K), lambda i: (i, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_ROWS, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TR, K), lambda i: (i, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((TR, K), lambda i: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((TILE_ROWS, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((R, D), jnp.float32),
+        out_specs=pl.BlockSpec((TR, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((R + pad, D), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((TILE_ROWS * K, D), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((T, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSEM,)),
         ],
         interpret=interpret,
-    )(bucket.cols, vals, x.astype(jnp.float32))
-    return contrib
+    )(cols, vals, x.astype(jnp.float32))
+    return contrib[:R] if pad else contrib
 
 
 _GATHER_TILE = 1024  # rows per grid step; (TILE/128, 128) SMEM index block
 # must keep TILE/128 a multiple of 8 (Mosaic sublane divisibility)
 
 
-def _gather_kernel(idx_ref, tab_ref, out_ref, sem_ref, *, T, W):
-    """DMA out_ref[g] <- tab[idx[g]] for g in [0, T); wave-pipelined."""
+def _gather_kernel(idx_ref, tab_ref, out_ref, sem_ref, *, T, W, NSEM):
+    """DMA out_ref[g] <- tab[idx[g]] for g in [0, T); pipelined waves of W
+    (issue wave w+1 before waiting wave w — see _bucket_kernel)."""
     NW = pl.cdiv(T, W)
 
-    def dma(g):
+    def dma(g, sem_slot):
         c = idx_ref[g // _LANES, g % _LANES]
-        return pltpu.make_async_copy(tab_ref.at[c], out_ref.at[g], sem_ref)
+        return pltpu.make_async_copy(tab_ref.at[c], out_ref.at[g],
+                                     sem_ref.at[sem_slot])
 
-    def issue(w, _):
-        for j in range(W):
-            g = w * W + j
+    def issue(w):
+        for g in range(w * W, min((w + 1) * W, T)):
+            dma(g, w % NSEM).start()
 
-            @pl.when(g < T)
-            def _():
-                dma(g).start()
-        return 0
+    def wait(w):
+        for g in range(w * W, min((w + 1) * W, T)):
+            dma(g, w % NSEM).wait()
 
-    def wait(w, _):
-        for j in range(W):
-            g = w * W + j
-
-            @pl.when(g < T)
-            def _():
-                dma(g).wait()
-        return 0
-
-    jax.lax.fori_loop(0, NW, issue, 0)
-    jax.lax.fori_loop(0, NW, wait, 0)
+    issue(0)
+    for w in range(NW):
+        if w + 1 < NW:
+            issue(w + 1)
+        wait(w)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray, interpret: bool) -> jnp.ndarray:
-    T = _GATHER_TILE
+    T = 128 if interpret else _GATHER_TILE  # small trace under interpret
     M = idx.shape[0]
     pad = -M % T
     idxp = jnp.pad(idx, (0, pad)).reshape(-1, _LANES)
     grid = ((M + pad) // T,)
     D = table.shape[1]
-    kernel = functools.partial(_gather_kernel, T=T, W=min(16, T))
+    W = min(8 if interpret else int(FLAGS.get("OFS_DMA_WAVE")), T)
+    NSEM = min(int(FLAGS.get("OFS_DMA_NSEM")), pl.cdiv(T, W))
+    kernel = functools.partial(_gather_kernel, T=T, W=W, NSEM=NSEM)
     out = pl.pallas_call(
         kernel,
         grid=grid,
@@ -178,7 +189,7 @@ def _gather_rows(table: jnp.ndarray, idx: jnp.ndarray, interpret: bool) -> jnp.n
         ],
         out_specs=pl.BlockSpec((T, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M + pad, D), table.dtype),
-        scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+        scratch_shapes=[pltpu.SemaphoreType.DMA((NSEM,))],
         interpret=interpret,
     )(idxp, table)
     return out[:M]

@@ -129,6 +129,18 @@ FLAGS.define_int(
     "(O(out + one bucket) memory) instead of the finish-gather over the "
     "full concat (2x concat bytes, faster for small plans).",
 )
+FLAGS.define_int(
+    "OFS_DMA_WAVE",
+    64,
+    "Row-DMA wave width for Pallas gather kernels: W copies issued per "
+    "wave, pipelined two waves deep (measured optimum on v5: 346 Mrows/s "
+    "at W=64 vs 73 at W=16 unpipelined; tools/microbench_gather2.py).",
+)
+FLAGS.define_int(
+    "OFS_DMA_NSEM",
+    8,
+    "Number of DMA semaphores the row-DMA waves cycle through.",
+)
 
 
 def on_tpu() -> bool:
