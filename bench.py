@@ -61,12 +61,20 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     eff = op.binned.padding_efficiency(nnz)
     from of_spmm_tpu.sparse.tiled import TieredEll
 
+    from of_spmm_tpu.sparse.expansion import ExpansionPlan
+
     if isinstance(op.binned, TieredEll):
-        layout = f"tiered x{len(op.binned.tiers)}"
+        layout_s = f"tiered x{len(op.binned.tiers)}"
         widths = sorted({b.width for t in op.binned.tiers for b in t.buckets})
+    elif isinstance(op.binned, ExpansionPlan):
+        p = op.binned
+        layout_s = (f"expansion R={p.R} TILE={p.TILE} CW={p.CW} "
+                    f"steps={p.n_steps} staged={p.n_staged/1e6:.1f}M")
+        widths = []
     else:
-        layout = "binned"
+        layout_s = "binned"
         widths = [b.width for b in op.binned.buckets]
+    layout = layout_s
     log(
         f"[{name}] placed: {layout} widths={widths}"
         f" pad_eff={eff:.3f} relabeled={op.relabeled}"
@@ -157,7 +165,7 @@ def main():
     ap.add_argument("--tier-size", type=int, default=None,
                     help="column tier size override (sparse/tiled.py)")
     ap.add_argument("--layout", default="auto",
-                    choices=("auto", "binned", "tiered"),
+                    choices=("auto", "binned", "tiered", "expansion"),
                     help="plan layout (ops/autograd.py make_operator)")
     ap.add_argument("--op", default="spmm", choices=("spmm", "spgemm"),
                     help="which benchmark to run")

@@ -219,13 +219,30 @@ def make_operator(
     def _place(op):
         return place_operator(op) if place else op
 
-    if layout not in ("auto", "binned", "tiered"):
-        raise ValueError(f"layout must be auto|binned|tiered, got {layout!r}")
+    if layout not in ("auto", "binned", "tiered", "expansion"):
+        raise ValueError(
+            f"layout must be auto|binned|tiered|expansion, got {layout!r}")
     from of_spmm_tpu.sparse.tiled import DEFAULT_TIER_SIZE, bin_rows_tiered
 
     ts = tier_size or DEFAULT_TIER_SIZE
     if layout == "auto":
         layout = "tiered" if csr.shape[1] > ts else "binned"
+    if layout == "expansion":
+        from of_spmm_tpu.sparse.expansion import build_expansion_plan
+
+        plan = build_expansion_plan(csr)
+        if csr.shape[0] == csr.shape[1] and _is_symmetric(csr):
+            plan_t = plan
+        else:
+            plan_t = build_expansion_plan(csr.transpose())
+        return _place(SpmmOperator(
+            binned=plan,
+            binned_t=plan_t,
+            coo_rows=coo.rows,
+            coo_cols=coo.cols,
+            coo_vals=coo.vals,
+            shape=csr.shape,
+        ))
     if layout == "tiered":
         tiled = bin_rows_tiered(csr, tier_size=ts, ladder=ladder)
         if csr.shape[0] == csr.shape[1] and _is_symmetric(csr):
@@ -324,8 +341,15 @@ def _pallas_cold_bucket(bucket, x_full: jnp.ndarray) -> jnp.ndarray:
 
 
 def _spmm_impl(binned, x: jnp.ndarray, impl: str) -> jnp.ndarray:
+    from of_spmm_tpu.sparse.expansion import ExpansionPlan
     from of_spmm_tpu.sparse.tiled import TieredEll
 
+    if isinstance(binned, ExpansionPlan):
+        # MXU one-hot engine — the layout IS the implementation (built for
+        # the Pallas kernel; no XLA variant of this layout exists).
+        from of_spmm_tpu.ops.pallas.expansion import spmm_expansion
+
+        return spmm_expansion(binned, x)
     if isinstance(binned, TieredEll):
         # tiered layout: one tiling strategy, two cold-bucket engines —
         # "xla" is the pure-XLA oracle; "pallas" swaps the cold (full-
