@@ -52,7 +52,13 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         )
 
     ts_key = f"|ts{tier_size}" if tier_size else ""
-    ly_key = f"|ly-{layout}" if layout != "auto" else ""
+    if layout == "expansion":
+        from of_spmm_tpu.sparse.expansion import (
+            DEFAULT_CW, DEFAULT_R, DEFAULT_TILE)
+
+        ly_key = f"|ly-exp-R{DEFAULT_R}-T{DEFAULT_TILE}-C{DEFAULT_CW}"
+    else:
+        ly_key = f"|ly-{layout}" if layout != "auto" else ""
     op, nnz, shape = cached(
         "op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}{ly_key}", build)
     log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({time.time()-t0:.1f}s)")

@@ -288,6 +288,21 @@ def spmm_tiered_xla(tiled, x: jnp.ndarray, cold_bucket_fn=None,
         v = b.vals.astype(acc)
 
         def one(cols_c, vals_c):
+            if K <= 32:
+                # K-accumulation: per-k take + multiply + add keeps every
+                # intermediate (r, d)-shaped — measured ~1.4x the (r, K, d)
+                # materializing form for narrow buckets on v5 (the take's
+                # elementwise consumers fuse; the big transient doesn't
+                # round-trip HBM).
+                r_rows = cols_c.shape[0]
+
+                def body(k, acc_):
+                    ck = jax.lax.dynamic_index_in_dim(cols_c, k, 1, False)
+                    vk = jax.lax.dynamic_index_in_dim(vals_c, k, 1, False)
+                    return acc_ + vk[:, None] * jnp.take(xt, ck, axis=0)
+
+                return jax.lax.fori_loop(
+                    0, K, body, jnp.zeros((r_rows, xt.shape[1]), acc))
             g = jnp.take(xt, cols_c, axis=0)
             return (vals_c[:, :, None] * g).sum(axis=1)
 

@@ -10,11 +10,14 @@ from of_spmm_tpu.optim.indexed_slices import (
 )
 from of_spmm_tpu.optim.optimizers import (
     Optimizer,
+    adadelta,
+    adagrad,
     adam,
     adamw,
     clip_grad_norm,
     ftrl,
     lamb,
+    rmsprop,
     sgd,
 )
 
@@ -25,6 +28,9 @@ __all__ = [
     "adamw",
     "lamb",
     "ftrl",
+    "rmsprop",
+    "adagrad",
+    "adadelta",
     "clip_grad_norm",
     "lr_scheduler",
     "IndexedSlices",

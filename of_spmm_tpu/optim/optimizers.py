@@ -233,3 +233,116 @@ def clip_grad_norm(grads, max_norm: float):
     total = jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2) for g in leaves))
     scale = jnp.minimum(1.0, max_norm / (total + 1e-6))
     return _tmap(lambda g: g * scale, grads), total
+
+
+def rmsprop(
+    lr: Schedule = 1e-2,
+    alpha: float = 0.99,
+    eps: float = 1e-8,
+    momentum: float = 0.0,
+    weight_decay: float = 0.0,
+    centered: bool = False,
+) -> Optimizer:
+    """RMSprop (torch conventions: square_avg ema, optional centered and
+    momentum variants; reference: python/oneflow/optim/rmsprop.py)."""
+
+    def init(params):
+        state = {
+            "step": jnp.zeros((), jnp.int32),
+            "sq": _tmap(jnp.zeros_like, params),
+        }
+        if centered:
+            state["g_avg"] = _tmap(jnp.zeros_like, params)
+        if momentum:
+            state["buf"] = _tmap(jnp.zeros_like, params)
+        return state
+
+    def update(grads, state, params):
+        step = state["step"] + 1
+        lr_t = _lr_at(lr, step)
+        if weight_decay:
+            grads = _tmap(lambda g, p: g + weight_decay * p, grads, params)
+        sq = _tmap(lambda s, g: alpha * s + (1 - alpha) * g * g,
+                   state["sq"], grads)
+        new_state = {"step": step, "sq": sq}
+        if centered:
+            g_avg = _tmap(lambda a, g: alpha * a + (1 - alpha) * g,
+                          state["g_avg"], grads)
+            denom = _tmap(lambda s, a: jnp.sqrt(s - a * a) + eps, sq, g_avg)
+            new_state["g_avg"] = g_avg
+        else:
+            denom = _tmap(lambda s: jnp.sqrt(s) + eps, sq)
+        d = _tmap(lambda g, dn: g / dn, grads, denom)
+        if momentum:
+            buf = _tmap(lambda b, d_: momentum * b + d_, state["buf"], d)
+            new_state["buf"] = buf
+            d = buf
+        params = _tmap(lambda p, d_: p - lr_t * d_, params, d)
+        return params, new_state
+
+    return Optimizer(init=init, update=update)
+
+
+def adagrad(
+    lr: Schedule = 1e-2,
+    eps: float = 1e-10,
+    weight_decay: float = 0.0,
+    initial_accumulator_value: float = 0.0,
+) -> Optimizer:
+    """Adagrad (reference: python/oneflow/optim/adagrad.py)."""
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "sum": _tmap(
+                lambda p: jnp.full_like(p, initial_accumulator_value), params
+            ),
+        }
+
+    def update(grads, state, params):
+        step = state["step"] + 1
+        lr_t = _lr_at(lr, step)
+        if weight_decay:
+            grads = _tmap(lambda g, p: g + weight_decay * p, grads, params)
+        acc = _tmap(lambda s, g: s + g * g, state["sum"], grads)
+        params = _tmap(
+            lambda p, g, s: p - lr_t * g / (jnp.sqrt(s) + eps),
+            params, grads, acc,
+        )
+        return params, {"step": step, "sum": acc}
+
+    return Optimizer(init=init, update=update)
+
+
+def adadelta(
+    lr: Schedule = 1.0,
+    rho: float = 0.9,
+    eps: float = 1e-6,
+    weight_decay: float = 0.0,
+) -> Optimizer:
+    """Adadelta (reference: python/oneflow/optim/adadelta.py)."""
+
+    def init(params):
+        return {
+            "step": jnp.zeros((), jnp.int32),
+            "sq": _tmap(jnp.zeros_like, params),
+            "acc_delta": _tmap(jnp.zeros_like, params),
+        }
+
+    def update(grads, state, params):
+        step = state["step"] + 1
+        lr_t = _lr_at(lr, step)
+        if weight_decay:
+            grads = _tmap(lambda g, p: g + weight_decay * p, grads, params)
+        sq = _tmap(lambda s, g: rho * s + (1 - rho) * g * g,
+                   state["sq"], grads)
+        delta = _tmap(
+            lambda g, s, ad: g * jnp.sqrt(ad + eps) / jnp.sqrt(s + eps),
+            grads, sq, state["acc_delta"],
+        )
+        acc_delta = _tmap(lambda ad, d: rho * ad + (1 - rho) * d * d,
+                          state["acc_delta"], delta)
+        params = _tmap(lambda p, d: p - lr_t * d, params, delta)
+        return params, {"step": step, "sq": sq, "acc_delta": acc_delta}
+
+    return Optimizer(init=init, update=update)

@@ -134,3 +134,67 @@ def test_training_loop_converges():
     for _ in range(300):
         params, state, l = step(params, state)
     assert float(l) < 0.03
+
+
+def test_rmsprop_matches_torch():
+    import torch
+
+    params = _params()
+    grad_seq = [_grads(i) for i in range(4)]
+    got = _run_ours(optim.rmsprop(lr=0.01, alpha=0.95, momentum=0.5,
+                                  centered=True), params, grad_seq)
+
+    tp = {k: torch.tensor(np.asarray(v), requires_grad=True)
+          for k, v in params.items()}
+    opt = torch.optim.RMSprop(list(tp.values()), lr=0.01, alpha=0.95, momentum=0.5,
+                              centered=True, eps=1e-8)
+    for g in grad_seq:
+        for k, t in tp.items():
+            t.grad = torch.tensor(np.asarray(g[k]))
+        opt.step()
+    for k, t in tp.items():
+        v = got[k]
+        # centered variance (sq - avg^2) cancels catastrophically; fp32
+        # noise amplifies through the sqrt -> looser multi-step tolerance
+        np.testing.assert_allclose(np.asarray(v), t.detach().numpy(),
+                                   rtol=1e-3, atol=1e-5)
+
+
+def test_adagrad_matches_torch():
+    import torch
+
+    params = _params()
+    grad_seq = [_grads(i) for i in range(4)]
+    got = _run_ours(optim.adagrad(lr=0.05), params, grad_seq)
+
+    tp = {k: torch.tensor(np.asarray(v), requires_grad=True)
+          for k, v in params.items()}
+    opt = torch.optim.Adagrad(list(tp.values()), lr=0.05, eps=1e-10)
+    for g in grad_seq:
+        for k, t in tp.items():
+            t.grad = torch.tensor(np.asarray(g[k]))
+        opt.step()
+    for k, t in tp.items():
+        v = got[k]
+        np.testing.assert_allclose(np.asarray(v), t.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_adadelta_matches_torch():
+    import torch
+
+    params = _params()
+    grad_seq = [_grads(i) for i in range(4)]
+    got = _run_ours(optim.adadelta(lr=0.8, rho=0.9), params, grad_seq)
+
+    tp = {k: torch.tensor(np.asarray(v), requires_grad=True)
+          for k, v in params.items()}
+    opt = torch.optim.Adadelta(list(tp.values()), lr=0.8, rho=0.9, eps=1e-6)
+    for g in grad_seq:
+        for k, t in tp.items():
+            t.grad = torch.tensor(np.asarray(g[k]))
+        opt.step()
+    for k, t in tp.items():
+        v = got[k]
+        np.testing.assert_allclose(np.asarray(v), t.detach().numpy(),
+                                   rtol=1e-5, atol=1e-6)
