@@ -3,6 +3,7 @@
 from of_spmm_tpu.nn import losses
 from of_spmm_tpu.nn.attention import MultiheadAttention, scaled_dot_product_attention
 from of_spmm_tpu.nn.conv import (
+    ConvTranspose2d,
     AdaptiveAvgPool2d,
     AvgPool2d,
     Conv1d,
@@ -12,6 +13,8 @@ from of_spmm_tpu.nn.conv import (
 from of_spmm_tpu.nn.rnn import GRU, LSTM, RNN
 from of_spmm_tpu.nn.gnn import GATConv, GCNConv, GINConv, SAGEConv
 from of_spmm_tpu.nn.layers import (
+    GroupNorm,
+    InstanceNorm2d,
     BatchNorm,
     Dropout,
     Embedding,

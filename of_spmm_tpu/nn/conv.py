@@ -171,3 +171,48 @@ class AdaptiveAvgPool2d:
                 f"{h}x{w}")
         kh, kw = h // oh, w // ow
         return AvgPool2d((kh, kw), stride=(kh, kw)).apply({}, x)
+
+
+@dataclasses.dataclass(frozen=True)
+class ConvTranspose2d:
+    """2-D transposed convolution, NCHW / IOHW (torch conventions).
+
+    Implemented as the gradient of Conv2d (lax.conv_transpose with the
+    torch output-size convention: out = (in-1)*stride - 2*pad + k)."""
+
+    in_channels: int
+    out_channels: int
+    kernel_size: Union[int, Tuple[int, int]]
+    stride: Union[int, Tuple[int, int]] = 1
+    padding: Union[int, Tuple[int, int]] = 0
+    use_bias: bool = True
+
+    def init(self, key) -> dict:
+        kh, kw = _pair(self.kernel_size)
+        fan_in = self.in_channels * kh * kw
+        kw_, kb = jax.random.split(key)
+        p = {
+            "w": _kaiming_uniform(
+                kw_, fan_in, (self.in_channels, self.out_channels, kh, kw)
+            )
+        }
+        if self.use_bias:
+            p["b"] = _kaiming_uniform(kb, fan_in, (self.out_channels,))
+        return p
+
+    def apply(self, params, x, *, train=False, rng=None):
+        kh, kw = _pair(self.kernel_size)
+        sh, sw = _pair(self.stride)
+        ph, pw = _pair(self.padding)
+        # torch semantics: input dilated by stride, VALID conv with the
+        # spatially-flipped kernel, then crop `padding` from each edge.
+        y = jax.lax.conv_general_dilated(
+            x, jnp.flip(params["w"], axis=(2, 3)),
+            window_strides=(1, 1),
+            padding=((kh - 1 - ph, kh - 1 - ph), (kw - 1 - pw, kw - 1 - pw)),
+            lhs_dilation=(sh, sw),
+            dimension_numbers=("NCHW", "IOHW", "NCHW"),
+        )
+        if self.use_bias:
+            y = y + params["b"][None, :, None, None]
+        return y

@@ -184,3 +184,66 @@ softmax = jax.nn.softmax
 log_softmax = jax.nn.log_softmax
 leaky_relu = jax.nn.leaky_relu
 elu = jax.nn.elu
+
+
+@dataclasses.dataclass(frozen=True)
+class GroupNorm:
+    """GroupNorm over (N, C, *spatial) inputs (torch conventions;
+    reference: python/oneflow/nn/modules/normalization.py GroupNorm)."""
+
+    num_groups: int
+    num_channels: int
+    eps: float = 1e-5
+    affine: bool = True
+
+    def __post_init__(self):
+        if self.num_channels % self.num_groups:
+            raise ValueError("num_channels must divide num_groups")
+
+    def init(self, key) -> dict:
+        if not self.affine:
+            return {}
+        return {
+            "gamma": jnp.ones((self.num_channels,), jnp.float32),
+            "beta": jnp.zeros((self.num_channels,), jnp.float32),
+        }
+
+    def apply(self, params, x, *, train=False, rng=None):
+        n, c = x.shape[0], x.shape[1]
+        spatial = x.shape[2:]
+        g = self.num_groups
+        xg = x.reshape(n, g, c // g, *spatial)
+        axes = tuple(range(2, xg.ndim))
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.var(xg, axis=axes, keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(x.shape)
+        if self.affine:
+            shape = (1, c) + (1,) * len(spatial)
+            y = y * params["gamma"].reshape(shape) + params["beta"].reshape(shape)
+        return y
+
+
+@dataclasses.dataclass(frozen=True)
+class InstanceNorm2d:
+    """Per-(sample, channel) spatial normalization over NCHW inputs."""
+
+    num_features: int
+    eps: float = 1e-5
+    affine: bool = False
+
+    def init(self, key) -> dict:
+        if not self.affine:
+            return {}
+        return {
+            "gamma": jnp.ones((self.num_features,), jnp.float32),
+            "beta": jnp.zeros((self.num_features,), jnp.float32),
+        }
+
+    def apply(self, params, x, *, train=False, rng=None):
+        mean = jnp.mean(x, axis=(2, 3), keepdims=True)
+        var = jnp.var(x, axis=(2, 3), keepdims=True)
+        y = (x - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.affine:
+            y = y * params["gamma"][None, :, None, None]
+            y = y + params["beta"][None, :, None, None]
+        return y

@@ -148,7 +148,7 @@ def _group_call(group: ExpansionGroup, stage_tier: int, R: int, TILE: int,
 
     def win_spec(b):
         return pl.BlockSpec(
-            (_BLK, D), lambda i, bb, tl: (bb[i] + b, 0),
+            (_BLK, D), lambda i, bb, tl, b=b: (bb[i * nblk + b], 0),
             memory_space=pltpu.VMEM)
 
     kernel = functools.partial(_expansion_kernel, R=R, TILE=TILE, CW=CW, D=D)

@@ -73,9 +73,9 @@ class ExpansionGroup:
     val_hi: jnp.ndarray           # bf16
     val_lo: jnp.ndarray           # bf16
 
-    # per step (scalar-prefetch): 128-row block index into the group's
-    # staging; tile id LOCAL to the group
-    base_blk: jnp.ndarray         # (nsteps,) int32
+    # per step (scalar-prefetch): the nblk independent 128-row staging
+    # block indices forming the step's window; tile id LOCAL to the group
+    base_blk: jnp.ndarray         # (nsteps * CW/128,) int32
     tile_of: jnp.ndarray          # (nsteps,) int32
 
     n_steps: int
@@ -160,6 +160,7 @@ def _build_group(tiles, tile_data, n_tiers, stage_tier, R, TILE, CW):
     tier_ptr = [0] + list(np.cumsum(seg_len.sum(axis=1)))
     U = int(tier_ptr[-1])
 
+    nblk = CW // _BLK
     stage_idx = np.zeros(U, dtype=np.int32)
     steps_base, steps_tile = [], []
     lanes_lidx, lanes_row, lanes_val = [], [], []
@@ -171,21 +172,50 @@ def _build_group(tiles, tile_data, n_tiers, stage_tier, R, TILE, CW):
         local_rank = within - tier_first[tiers]
         gpos = run_off[tiers, j] + local_rank
         stage_idx[gpos] = (uniq - tiers * stage_tier).astype(np.int32)
-        gidx = gpos[inv]  # per lane, non-decreasing within the tile
+        gidx = gpos[inv]  # per lane, non-decreasing within each tier run
         mlanes = gidx.shape[0]
+        # The step window is nblk ARBITRARY 128-row staging blocks (each an
+        # independent scalar-prefetched block index), so steps pack lanes
+        # straight across tier-run boundaries where the tile's global
+        # staged positions jump (other tiles' segments interleave).
+        # Walk block-runs, not lanes: boundaries where the lane's staging
+        # block changes.
+        lane_blk = gidx // _BLK
+        bnd = np.nonzero(np.diff(lane_blk))[0] + 1
+        run_starts = np.concatenate([[0], bnd, [mlanes]])
+        nruns = run_starts.shape[0] - 1
+        ri = 0
         i = 0
         while i < mlanes:
-            base = (gidx[i] // _BLK) * _BLK
-            k = int(np.searchsorted(gidx, base + CW, side="left"))
-            k = min(k, i + TILE, mlanes)
+            blocks = []
+            k = i
+            rj = ri
+            while rj < nruns and k < i + TILE and len(blocks) <= nblk:
+                b = int(lane_blk[run_starts[rj]])
+                if b not in blocks:
+                    if len(blocks) == nblk:
+                        break
+                    blocks.append(b)
+                run_end = int(run_starts[rj + 1])
+                if run_end - i > TILE:  # run longer than remaining lanes
+                    k = i + TILE
+                    break
+                k = run_end
+                rj += 1
+            # local window index per lane: 128*pos(block) + offset
+            blk_arr = np.asarray(blocks, dtype=np.int64)
+            seg_blk = lane_blk[i:k]
+            pos = np.searchsorted(blk_arr, seg_blk)  # blocks ascend per tile
+            li = (pos * _BLK + (gidx[i:k] - seg_blk * _BLK)).astype(np.int32)
             pad = TILE - (k - i)
-            lanes_lidx.append(np.pad((gidx[i:k] - base).astype(np.int32),
-                                     (0, pad)))
+            lanes_lidx.append(np.pad(li, (0, pad)))
             lanes_row.append(np.pad(r[i:k].astype(np.int32), (0, pad)))
             lanes_val.append(np.pad(v[i:k], (0, pad)))  # pad val = 0
-            steps_base.append(base // _BLK)
+            blocks += [blocks[-1]] * (nblk - len(blocks))
+            steps_base.append(blocks)
             steps_tile.append(j)
             i = k
+            ri = rj
 
     n_steps = len(steps_base)
     win_lidx = np.concatenate(lanes_lidx).reshape(-1, 128)
@@ -207,7 +237,7 @@ def _build_group(tiles, tile_data, n_tiers, stage_tier, R, TILE, CW):
         lrow=lrow,
         val_hi=val_hi.reshape(-1, 128),
         val_lo=val_lo.reshape(-1, 128),
-        base_blk=np.asarray(steps_base, dtype=np.int32),
+        base_blk=np.asarray(steps_base, dtype=np.int32).reshape(-1),
         tile_of=np.asarray(steps_tile, dtype=np.int32),
         n_steps=n_steps,
         n_tiles=n_tl,

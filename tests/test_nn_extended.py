@@ -135,3 +135,48 @@ def test_mha_causal():
     y0 = m.apply(params, jnp.asarray(x[:, :1]))
     np.testing.assert_allclose(np.asarray(y[:, 0]), np.asarray(y0[:, 0]),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_groupnorm_matches_torch():
+    import torch
+
+    from of_spmm_tpu import nn as onn
+
+    x = np.random.default_rng(0).standard_normal((2, 8, 5, 5)).astype(np.float32)
+    m = onn.GroupNorm(4, 8)
+    params = m.init(jax.random.key(0))
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    tm = torch.nn.GroupNorm(4, 8)
+    want = tm(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_instancenorm_matches_torch():
+    import torch
+
+    from of_spmm_tpu import nn as onn
+
+    x = np.random.default_rng(1).standard_normal((2, 6, 7, 7)).astype(np.float32)
+    m = onn.InstanceNorm2d(6)
+    got = np.asarray(m.apply({}, jnp.asarray(x)))
+    tm = torch.nn.InstanceNorm2d(6)
+    want = tm(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("stride,padding", [(1, 0), (2, 1), (3, 2)])
+def test_convtranspose2d_matches_torch(stride, padding):
+    import torch
+
+    from of_spmm_tpu import nn as onn
+
+    x = np.random.default_rng(2).standard_normal((2, 3, 9, 9)).astype(np.float32)
+    m = onn.ConvTranspose2d(3, 5, 4, stride=stride, padding=padding)
+    params = m.init(jax.random.key(0))
+    got = np.asarray(m.apply(params, jnp.asarray(x)))
+    tm = torch.nn.ConvTranspose2d(3, 5, 4, stride=stride, padding=padding)
+    with torch.no_grad():
+        tm.weight.copy_(torch.tensor(np.asarray(params["w"])))
+        tm.bias.copy_(torch.tensor(np.asarray(params["b"])))
+    want = tm(torch.tensor(x)).detach().numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
