@@ -222,4 +222,69 @@ int spgemm_fill(int64_t n_rows, int64_t n_cols_b, const int64_t* a_indptr,
   return 0;
 }
 
+// Expansion-plan pass 1 (sparse/expansion.py): per row tile of R rows,
+// sort the tile's nonzeros by column, dedup into the tile's unique column
+// list, and emit per-lane (uniq rank, row-in-tile, value) in sorted order.
+// Outputs are tile-concatenated; uniq_ptr has n_tiles+1 entries. uniq_cols
+// must be nnz-sized (worst case: no duplicates). Parallel over tiles.
+int expansion_pass1(int64_t n_rows, int64_t nnz, const int64_t* indptr,
+                    const int32_t* cols, const float* vals, int64_t R,
+                    int32_t* lane_inv, int32_t* lane_row, float* lane_val,
+                    int32_t* uniq_cols, int64_t* uniq_ptr) {
+  (void)nnz;
+  int64_t n_tiles = (n_rows + R - 1) / R;
+  if (n_tiles < 1) n_tiles = 1;
+  std::vector<int64_t> uniq_cnt(n_tiles, 0);
+#pragma omp parallel
+  {
+    std::vector<std::pair<int32_t, int32_t>> buf;  // (col, lane-in-tile)
+#pragma omp for schedule(dynamic, 1)
+    for (int64_t t = 0; t < n_tiles; ++t) {
+      int64_t r0 = t * R;
+      int64_t r1 = std::min(r0 + R, n_rows);
+      int64_t lo = indptr[r0], hi = indptr[r1];
+      int64_t m = hi - lo;
+      buf.resize(m);
+      for (int64_t r = r0; r < r1; ++r) {
+        for (int64_t e = indptr[r]; e < indptr[r + 1]; ++e) {
+          buf[e - lo] = {cols[e], (int32_t)(e - lo)};
+        }
+      }
+      std::stable_sort(buf.begin(), buf.end(),
+                       [](const auto& a, const auto& b) {
+                         return a.first < b.first;
+                       });
+      // rows-in-tile per original lane position
+      int64_t u = -1;
+      int32_t prev = -1;
+      for (int64_t i = 0; i < m; ++i) {
+        int64_t orig = lo + buf[i].second;
+        // recover the row of the original lane by binary search on indptr
+        // segment [r0, r1): rows are short; walk via upper_bound.
+        const int64_t* rb = indptr + r0;
+        int64_t row =
+            (std::upper_bound(rb, indptr + r1 + 1, orig) - rb) - 1;
+        lane_row[lo + i] = (int32_t)row;
+        lane_val[lo + i] = vals[orig];
+        if (buf[i].first != prev) {
+          ++u;
+          prev = buf[i].first;
+          uniq_cols[lo + u] = prev;  // staged at tile's lane base, compact later
+        }
+        lane_inv[lo + i] = (int32_t)u;
+      }
+      uniq_cnt[t] = u + 1;
+    }
+  }
+  uniq_ptr[0] = 0;
+  for (int64_t t = 0; t < n_tiles; ++t) uniq_ptr[t + 1] = uniq_ptr[t] + uniq_cnt[t];
+  // compact uniq_cols from per-tile lane bases to uniq_ptr layout
+  for (int64_t t = 0; t < n_tiles; ++t) {
+    int64_t lo = indptr[std::min(t * R, n_rows)];
+    std::memmove(uniq_cols + uniq_ptr[t], uniq_cols + lo,
+                 sizeof(int32_t) * uniq_cnt[t]);
+  }
+  return 0;
+}
+
 }  // extern "C"

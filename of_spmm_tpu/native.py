@@ -93,6 +93,9 @@ def _lib() -> Optional[ctypes.CDLL]:
         lib.spgemm_fill.argtypes = [i64, i64, i64p, i32p, f32p, i64p, i32p,
                                     f32p, i64p, i32p, f32p]
         lib.spgemm_fill.restype = ctypes.c_int
+        lib.expansion_pass1.argtypes = [i64, i64, i64p, i32p, f32p, i64,
+                                        i32p, i32p, f32p, i32p, i64p]
+        lib.expansion_pass1.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -219,3 +222,30 @@ def spgemm(
                        out_cols, out_vals) != 0:
         return None
     return indptr, out_cols, out_vals
+
+
+def expansion_pass1(indptr: np.ndarray, cols: np.ndarray, vals: np.ndarray,
+                    R: int):
+    """Per-tile column-sorted lanes + unique columns (expansion plan pass 1;
+    see sparse/expansion.py). Returns (lane_inv, lane_row, lane_val,
+    uniq_cols, uniq_ptr) with lanes tile-concatenated in sorted order, or
+    None when the native library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    vals = np.ascontiguousarray(vals, dtype=np.float32)
+    n = indptr.shape[0] - 1
+    nnz = cols.shape[0]
+    n_tiles = max(-(-n // R), 1)
+    lane_inv = np.empty(nnz, dtype=np.int32)
+    lane_row = np.empty(nnz, dtype=np.int32)
+    lane_val = np.empty(nnz, dtype=np.float32)
+    uniq_cols = np.empty(max(nnz, 1), dtype=np.int32)
+    uniq_ptr = np.zeros(n_tiles + 1, dtype=np.int64)
+    rc = lib.expansion_pass1(n, nnz, indptr, cols, vals, R, lane_inv,
+                             lane_row, lane_val, uniq_cols, uniq_ptr)
+    if rc != 0:
+        return None
+    return lane_inv, lane_row, lane_val, uniq_cols, uniq_ptr

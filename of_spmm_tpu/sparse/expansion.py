@@ -265,20 +265,36 @@ def build_expansion_plan(
     n_tiers = max(-(-m // stage_tier), 1)
 
     # ---- pass 1: per tile, column-sorted lanes + unique columns ----------
+    # native (OpenMP) per-tile sort+dedup when the toolchain is present
+    # (~20x over the numpy loop at 10^8 nnz); numpy fallback otherwise.
+    from of_spmm_tpu import native
+
     tile_data = []
     starts = indptr[np.minimum(np.arange(n_tiles + 1) * R, n)]
-    for t in range(n_tiles):
-        lo, hi = starts[t], starts[t + 1]
-        c = cols_all[lo:hi]
-        v = vals_all[lo:hi]
-        r = np.repeat(
-            np.arange(min(R, n - t * R), dtype=np.int64),
-            np.diff(indptr[t * R:min((t + 1) * R, n) + 1]),
-        )
-        order = np.argsort(c, kind="stable")
-        c, v, r = c[order], v[order], r[order]
-        uniq, inv = np.unique(c, return_inverse=True)
-        tile_data.append((uniq, inv, r, v))
+    nat = native.expansion_pass1(indptr, cols_all, vals_all, R)
+    if nat is not None:
+        lane_inv, lane_row, lane_val, uniq_cols, uniq_ptr = nat
+        for t in range(n_tiles):
+            lo, hi = starts[t], starts[t + 1]
+            tile_data.append((
+                uniq_cols[uniq_ptr[t]:uniq_ptr[t + 1]].astype(np.int64),
+                lane_inv[lo:hi].astype(np.int64),
+                lane_row[lo:hi].astype(np.int64),
+                lane_val[lo:hi],
+            ))
+    else:
+        for t in range(n_tiles):
+            lo, hi = starts[t], starts[t + 1]
+            c = cols_all[lo:hi]
+            v = vals_all[lo:hi]
+            r = np.repeat(
+                np.arange(min(R, n - t * R), dtype=np.int64),
+                np.diff(indptr[t * R:min((t + 1) * R, n) + 1]),
+            )
+            order = np.argsort(c, kind="stable")
+            c, v, r = c[order], v[order], r[order]
+            uniq, inv = np.unique(c, return_inverse=True)
+            tile_data.append((uniq, inv, r, v))
 
     # ---- group tiles under the staging budget ----------------------------
     groups = []
