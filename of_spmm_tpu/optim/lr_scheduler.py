@@ -20,6 +20,13 @@ def constant(lr: float) -> Schedule:
 
 
 def step_lr(lr: float, step_size: int, gamma: float = 0.1) -> Schedule:
+    """Decay lr by ``gamma`` every ``step_size`` optimizer steps.
+
+    >>> s = step_lr(0.1, step_size=2, gamma=0.5)
+    >>> [round(float(s(t)), 4) for t in (1, 2, 3, 4, 5)]
+    [0.1, 0.1, 0.05, 0.05, 0.025]
+    """
+
     def f(step):
         k = jnp.floor_divide(step - 1, step_size).astype(jnp.float32)
         return jnp.asarray(lr, jnp.float32) * gamma ** k

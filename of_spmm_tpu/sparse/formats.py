@@ -59,6 +59,13 @@ class COO:
 
     Equivalent to the reference's edge-list view: ``rows`` are the
     segment ids fed to unsorted_segment_sum, ``cols`` the gather indices.
+
+    >>> import numpy as np
+    >>> coo = COO.from_arrays([0, 1], [1, 0], [2.0, 1.0], (2, 2))
+    >>> int(coo.nnz)
+    2
+    >>> np.allclose(CSR.from_coo(coo).to_dense(), [[0., 2.], [1., 0.]])
+    True
     """
 
     rows: jnp.ndarray  # (nnz,) int32
@@ -155,6 +162,18 @@ class CSR:
     ``indptr`` has length n_rows + 1; row i owns the nnz slice
     [indptr[i], indptr[i+1]). Values within a row are stored in ascending
     column order by construction (from_coo lexsorts).
+
+    >>> import numpy as np
+    >>> csr = CSR.from_dense(np.array([[0., 2.], [1., 0.]], np.float32))
+    >>> int(csr.nnz), csr.shape
+    (2, (2, 2))
+    >>> [int(c) for c in np.asarray(csr.cols)]
+    [1, 0]
+    >>> np.allclose(csr.to_dense(), [[0., 2.], [1., 0.]])
+    True
+    >>> t = csr.transpose()
+    >>> np.allclose(t.to_dense(), [[0., 1.], [2., 0.]])
+    True
     """
 
     indptr: jnp.ndarray  # (n_rows + 1,) int32
