@@ -153,11 +153,17 @@ def _build_group(tiles, tile_data, n_tiers, stage_tier, R, TILE, CW):
     for j, t in enumerate(tiles):
         uniq = tile_data[t][0]
         seg_len[:, j] = np.bincount(uniq // stage_tier, minlength=n_tiers)
-    flat = seg_len.reshape(-1)
+    # each (tier, tile) staging run padded to _BLK alignment: a window
+    # block then belongs to exactly one run, so a step's nblk independent
+    # blocks pack lanes across run boundaries with no straddle waste
+    # (measured pad_eff 0.51 -> ~0.85 on ogbn-products; the price is
+    # ~+35% staged rows of never-referenced padding).
+    seg_pad = -(-seg_len // _BLK) * _BLK
+    flat = seg_pad.reshape(-1)
     run_off = np.zeros(flat.shape[0] + 1, dtype=np.int64)
     np.cumsum(flat, out=run_off[1:])
     run_off = run_off[:-1].reshape(n_tiers, n_tl)
-    tier_ptr = [0] + list(np.cumsum(seg_len.sum(axis=1)))
+    tier_ptr = [0] + list(np.cumsum(seg_pad.sum(axis=1)))
     U = int(tier_ptr[-1])
 
     nblk = CW // _BLK
