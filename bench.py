@@ -195,8 +195,21 @@ def main():
             bench_graph(g, d=args.d, iters=args.iters, impls=impls,
                         tier_size=args.tier_size, layout=args.layout)
 
-    results = bench_graph(args.graph, d=args.d, iters=args.iters, impls=impls,
-                          tier_size=args.tier_size, layout=args.layout)
+    if args.layout == "auto" and set(impls) == {"xla", "pallas"}:
+        # each impl on its measured-best layout (see sparse/expansion.py
+        # rate table): XLA on the tiered/binned auto choice, the Pallas
+        # MXU one-hot engine on the expansion plan.
+        results = bench_graph(args.graph, d=args.d, iters=args.iters,
+                              impls=("xla",), tier_size=args.tier_size,
+                              layout="auto")
+        exp = bench_graph(args.graph, d=args.d, iters=args.iters,
+                          impls=("pallas",), tier_size=args.tier_size,
+                          layout="expansion")
+        results.update({"pallas-expansion": v for v in exp.values()})
+    else:
+        results = bench_graph(args.graph, d=args.d, iters=args.iters,
+                              impls=impls, tier_size=args.tier_size,
+                              layout=args.layout)
     best_name, best = max(
         results.items(), key=lambda kv: kv[1]["roofline_fraction"], default=(None, None)
     )
