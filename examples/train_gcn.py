@@ -7,6 +7,11 @@ grad clipping) -> accuracy eval.
 
 from __future__ import annotations
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import argparse
 import time
 
