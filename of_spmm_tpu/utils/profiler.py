@@ -115,3 +115,33 @@ def trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def memory_analysis(fn, *example_args, **jit_kwargs) -> dict:
+    """Compiled-program memory breakdown — the analog of the reference's
+    plan memory log (PlanUtil::PlanMemoryLog, dumped from
+    oneflow/core/framework/nn_graph.cpp:302): peak/argument/output/temp
+    bytes of the XLA executable for ``fn(*example_args)``.
+
+    Returns a dict of byte counts (keys: generated_code_size, argument,
+    output, temp, alias, peak) — zeros where the backend doesn't report.
+    """
+    import jax
+
+    compiled = jax.jit(fn, **jit_kwargs).lower(*example_args).compile()
+    try:
+        ma = compiled.memory_analysis()
+    except Exception:  # backend without memory analysis
+        return {}
+    if ma is None:
+        return {}
+    fields = (
+        ("generated_code_size", "generated_code_size_in_bytes"),
+        ("argument", "argument_size_in_bytes"),
+        ("output", "output_size_in_bytes"),
+        ("alias", "alias_size_in_bytes"),
+        ("temp", "temp_size_in_bytes"),
+    )
+    out = {k: int(getattr(ma, attr, 0) or 0) for k, attr in fields}
+    out["peak"] = out["argument"] + out["output"] + out["temp"]
+    return out

@@ -113,3 +113,18 @@ def test_autoprof_table():
     assert row.torch_ms is None or row.torch_ms > 0
     text = table([row])
     assert "Linear" in text and "ours ms" in text
+
+
+def test_memory_analysis_reports_bytes():
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.utils.profiler import memory_analysis
+
+    def f(x):
+        return (x @ x.T).sum()
+
+    rep = memory_analysis(f, jnp.ones((64, 64), jnp.float32))
+    # CPU backend may or may not report; when it does, args must be > 0
+    if rep:
+        assert rep["argument"] >= 64 * 64 * 4
+        assert rep["peak"] >= rep["argument"]
