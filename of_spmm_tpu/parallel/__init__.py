@@ -39,3 +39,4 @@ from of_spmm_tpu.parallel.sp import (
     sequence_to_head,
     ulysses_attention,
 )
+from of_spmm_tpu.parallel.ring import RingAttention, ring_attention
