@@ -35,11 +35,18 @@ def scaled_dot_product_attention(
 
 @dataclasses.dataclass(frozen=True)
 class MultiheadAttention:
-    """Torch-convention MHA over (B, T, E) inputs (batch_first)."""
+    """Torch-convention MHA over (B, T, E) inputs (batch_first).
+
+    ``flash=True`` routes the softmax core through the fused Pallas flash
+    kernel (O(T*d) activation memory; ops/pallas/flash_attention.py) —
+    sequence length must divide its block size and masks other than
+    is_causal are unsupported there.
+    """
 
     embed_dim: int
     num_heads: int
     use_bias: bool = True
+    flash: bool = False
 
     def __post_init__(self):
         if self.embed_dim % self.num_heads:
@@ -77,7 +84,15 @@ class MultiheadAttention:
             return y.reshape(B, T, H, hd).transpose(0, 2, 1, 3)  # (B,H,T,hd)
 
         qh, kh, vh = proj(q, wq, bq), proj(k, wk, bk), proj(v, wv, bv)
-        o = scaled_dot_product_attention(qh, kh, vh, mask=mask, is_causal=is_causal)
+        if self.flash:
+            if mask is not None:
+                raise ValueError("flash=True supports only is_causal masks")
+            from of_spmm_tpu.ops.pallas.flash_attention import flash_attention
+
+            o = flash_attention(qh, kh, vh, is_causal=is_causal)
+        else:
+            o = scaled_dot_product_attention(qh, kh, vh, mask=mask,
+                                             is_causal=is_causal)
         B, _, T, _ = o.shape
         o = o.transpose(0, 2, 1, 3).reshape(B, T, E)
         o = o @ params["out_w"].T
