@@ -7,6 +7,8 @@ devices in one process, and Pallas kernels run interpreted. Real-TPU
 execution is exercised by bench.py and __graft_entry__.py.
 """
 
+import os
+
 import jax
 import pytest
 
@@ -14,7 +16,12 @@ import pytest
 # registers an "axon" TPU backend and forces jax_platforms="axon,cpu";
 # override back to CPU with 8 virtual devices for the test mesh.
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_num_cpu_devices", 8)
+# OFS_TEST_DEVICE_NUM mirrors the reference's ONEFLOW_TEST_DEVICE_NUM
+# (framework/unittest.py:188-221): the same test files run at different
+# simulated device counts (>= 8; mesh tests slice jax.devices()[:n]).
+jax.config.update(
+    "jax_num_cpu_devices",
+    max(8, int(os.environ.get("OFS_TEST_DEVICE_NUM", "8"))))
 
 from of_spmm_tpu.utils.config import FLAGS  # noqa: E402
 
