@@ -56,7 +56,7 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         from of_spmm_tpu.sparse.expansion import (
             DEFAULT_CW, DEFAULT_R, DEFAULT_TILE)
 
-        ly_key = f"|ly-exp4-R{DEFAULT_R}-T{DEFAULT_TILE}-C{DEFAULT_CW}"
+        ly_key = f"|ly-exp3-R{DEFAULT_R}-T{DEFAULT_TILE}-C{DEFAULT_CW}"
     else:
         ly_key = f"|ly-{layout}" if layout != "auto" else ""
     op, nnz, shape = cached(

@@ -50,9 +50,9 @@ import numpy as np
 
 from of_spmm_tpu.sparse.formats import CSR
 
-DEFAULT_R = 256          # output rows per tile (VMEM accumulator R x d)
+DEFAULT_R = 512          # output rows per tile (VMEM accumulator R x d)
 DEFAULT_TILE = 1024      # lanes per kernel step (~CW x dedup keeps pad low)
-DEFAULT_CW = 384         # staging window rows per step (multiple of 128)
+DEFAULT_CW = 512         # staging window rows per step (multiple of 128)
 STAGE_TIER = 32768       # staging gather fast-path table size
 DEFAULT_STAGE_BUDGET = 4 * 1024 * 1024  # staged rows per group (hi/lo ~2GB)
 _BLK = 128               # window block granularity
