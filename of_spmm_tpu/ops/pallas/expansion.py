@@ -70,11 +70,15 @@ def split_hilo(x: jnp.ndarray):
 
 
 def _expansion_kernel(base_ref, tile_ref, lidx_ref, lrow_ref, vh_ref,
-                      vl_ref, *window_and_out, R, TILE, CW, D):
+                      vl_ref, *window_and_out, R, TILE, CW, D, parity):
+    """``parity=True``: fp32-parity hi/lo pairs (5 matmuls per window
+    block-set + 2 scatter). ``parity=False``: bf16 fast mode — features
+    and contributions stay single-bf16 (2 matmuls total per block-set),
+    the AMP-mode sparse path (GraphConfig.amp semantics)."""
     nblk = CW // _BLK
     hi_refs = window_and_out[:nblk]
-    lo_refs = window_and_out[nblk:2 * nblk]
-    o_ref = window_and_out[2 * nblk]
+    lo_refs = window_and_out[nblk:2 * nblk] if parity else ()
+    o_ref = window_and_out[2 * nblk if parity else nblk]
 
     step = pl.program_id(0)
     is_first = jnp.where(
@@ -87,7 +91,7 @@ def _expansion_kernel(base_ref, tile_ref, lidx_ref, lrow_ref, vh_ref,
 
     lanes = lidx_ref[:].reshape(1, TILE)
     vh = vh_ref[:].reshape(1, TILE)
-    vl = vl_ref[:].reshape(1, TILE)
+    vl = vl_ref[:].reshape(1, TILE) if parity else None
 
     g = jnp.zeros((TILE, D), jnp.float32)
     for b in range(nblk):
@@ -96,26 +100,33 @@ def _expansion_kernel(base_ref, tile_ref, lidx_ref, lrow_ref, vh_ref,
             == lanes - b * _BLK
         ).astype(jnp.bfloat16)
         ohvh = oh * vh
-        ohvl = oh * vl
         g = g + jax.lax.dot_general(
             ohvh, hi_refs[b][:], _DN, preferred_element_type=jnp.float32)
-        g = g + jax.lax.dot_general(
-            ohvh, lo_refs[b][:], _DN, preferred_element_type=jnp.float32)
-        g = g + jax.lax.dot_general(
-            ohvl, hi_refs[b][:], _DN, preferred_element_type=jnp.float32)
+        if parity:
+            ohvl = oh * vl
+            g = g + jax.lax.dot_general(
+                ohvh, lo_refs[b][:], _DN, preferred_element_type=jnp.float32)
+            g = g + jax.lax.dot_general(
+                ohvl, hi_refs[b][:], _DN, preferred_element_type=jnp.float32)
 
-    c_hi, c_lo = split_hilo(g)
     roh = (
         jax.lax.broadcasted_iota(jnp.int32, (R, TILE), 0)
         == lrow_ref[:].reshape(1, TILE)
     ).astype(jnp.bfloat16)
-    s = jax.lax.dot_general(roh, c_hi, _DN2, preferred_element_type=jnp.float32)
-    s = s + jax.lax.dot_general(roh, c_lo, _DN2,
+    if parity:
+        c_hi, c_lo = split_hilo(g)
+        s = jax.lax.dot_general(roh, c_hi, _DN2,
+                                preferred_element_type=jnp.float32)
+        s = s + jax.lax.dot_general(roh, c_lo, _DN2,
+                                    preferred_element_type=jnp.float32)
+    else:
+        s = jax.lax.dot_general(roh, g.astype(jnp.bfloat16), _DN2,
                                 preferred_element_type=jnp.float32)
     o_ref[:] = o_ref[:] + s
 
 
-def _stage_hilo(group: ExpansionGroup, stage_tier: int, x: jnp.ndarray):
+def _stage_hilo(group: ExpansionGroup, stage_tier: int, x: jnp.ndarray,
+                parity: bool):
     """Tier-major staging: one fast-path take per 32768-column tier."""
     his, los = [], []
     ptr = group.stage_tier_ptr
@@ -127,20 +138,26 @@ def _stage_hilo(group: ExpansionGroup, stage_tier: int, x: jnp.ndarray):
         hi_r = min((t + 1) * stage_tier, x.shape[0])
         xt = jax.lax.slice_in_dim(x, lo_r, hi_r, axis=0)
         g = jnp.take(xt, seg, axis=0, mode="clip")
-        hi, lo = split_hilo(g)
+        if parity:
+            hi, lo = split_hilo(g)
+            los.append(lo)
+        else:
+            hi = g.astype(jnp.bfloat16)
         his.append(hi)
-        los.append(lo)
     stage_hi = jnp.concatenate(his, axis=0) if len(his) > 1 else his[0]
+    if not parity:
+        return stage_hi, None
     stage_lo = jnp.concatenate(los, axis=0) if len(los) > 1 else los[0]
     return stage_hi, stage_lo
 
 
 def _group_call(group: ExpansionGroup, stage_tier: int, R: int, TILE: int,
-                CW: int, x: jnp.ndarray, interpret: bool) -> jnp.ndarray:
+                CW: int, x: jnp.ndarray, interpret: bool,
+                parity: bool) -> jnp.ndarray:
     D = x.shape[1]
     nblk = CW // _BLK
     G = TILE // 128
-    stage_hi, stage_lo = _stage_hilo(group, stage_tier, x)
+    stage_hi, stage_lo = _stage_hilo(group, stage_tier, x, parity)
 
     def lane_spec():
         return pl.BlockSpec(
@@ -151,15 +168,17 @@ def _group_call(group: ExpansionGroup, stage_tier: int, R: int, TILE: int,
             (_BLK, D), lambda i, bb, tl, b=b: (bb[i * nblk + b], 0),
             memory_space=pltpu.VMEM)
 
-    kernel = functools.partial(_expansion_kernel, R=R, TILE=TILE, CW=CW, D=D)
+    kernel = functools.partial(_expansion_kernel, R=R, TILE=TILE, CW=CW,
+                               D=D, parity=parity)
+    win_specs = [win_spec(b) for b in range(nblk)]  # hi window blocks
+    win_args = [stage_hi] * nblk
+    if parity:
+        win_specs += [win_spec(b) for b in range(nblk)]  # lo window blocks
+        win_args += [stage_lo] * nblk
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # base_blk, tile_of
         grid=(group.n_steps,),
-        in_specs=(
-            [lane_spec() for _ in range(4)]
-            + [win_spec(b) for b in range(nblk)]   # hi window blocks
-            + [win_spec(b) for b in range(nblk)]   # lo window blocks
-        ),
+        in_specs=([lane_spec() for _ in range(4)] + win_specs),
         out_specs=pl.BlockSpec(
             (R, D), lambda i, bb, tl: (tl[i], 0), memory_space=pltpu.VMEM),
     )
@@ -171,16 +190,16 @@ def _group_call(group: ExpansionGroup, stage_tier: int, R: int, TILE: int,
     )(
         group.base_blk, group.tile_of,
         group.win_lidx, group.lrow, group.val_hi, group.val_lo,
-        *([stage_hi] * nblk), *([stage_lo] * nblk),
+        *win_args,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "parity"))
 def _spmm_expansion_jit(plan: ExpansionPlan, x: jnp.ndarray,
-                        interpret: bool) -> jnp.ndarray:
+                        interpret: bool, parity: bool) -> jnp.ndarray:
     outs = [
         _group_call(g, plan.stage_tier, plan.R, plan.TILE, plan.CW, x,
-                    interpret)
+                    interpret, parity)
         for g in plan.groups
     ]
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
@@ -188,12 +207,20 @@ def _spmm_expansion_jit(plan: ExpansionPlan, x: jnp.ndarray,
 
 def spmm_expansion(plan: ExpansionPlan, x: jnp.ndarray,
                    interpret=None) -> jnp.ndarray:
-    """Y = A @ X with the one-hot expansion engine (fp32-parity)."""
+    """Y = A @ X with the one-hot expansion engine.
+
+    fp32 (or wider) inputs run the fp32-parity mode; bf16 inputs take the
+    fast single-bf16 mode (2 matmuls per window block-set instead of 5) —
+    the AMP-mode sparse path, consistent with GraphConfig.amp casting
+    activations to bf16 (reference analog: AMP white-listing the matmul,
+    oneflow/core/job_rewriter/auto_mixed_precision.cpp).
+    """
     from of_spmm_tpu.ops.pallas.spmm import _pad_features
     from of_spmm_tpu.utils.config import pallas_interpret_default
 
     if interpret is None:
         interpret = pallas_interpret_default()
-    xp, d = _pad_features(x.astype(jnp.float32))
-    out = _spmm_expansion_jit(plan, xp, interpret)
+    parity = x.dtype != jnp.bfloat16
+    xp, d = _pad_features(x.astype(jnp.float32) if parity else x)
+    out = _spmm_expansion_jit(plan, xp, interpret, parity)
     return out[:plan.n_rows, :d].astype(x.dtype)

@@ -91,3 +91,20 @@ def test_expansion_multigroup_matches_dense():
     got = np.asarray(spmm_expansion(plan, x, interpret=True))
     np.testing.assert_allclose(got, dense @ np.asarray(x),
                                rtol=2e-4, atol=5e-4)
+
+
+def test_expansion_bf16_fast_mode():
+    import jax.numpy as jnp
+
+    csr, dense = _rand_csr(128, 128, 0.08, symmetric=True)
+    plan = build_expansion_plan(csr, R=64, TILE=128, CW=128, stage_tier=512)
+    from of_spmm_tpu.ops.pallas.expansion import spmm_expansion
+
+    x = np.random.default_rng(7).standard_normal((128, 64)).astype(np.float32)
+    got = np.asarray(spmm_expansion(
+        plan, jnp.asarray(x).astype(jnp.bfloat16), interpret=True)
+    ).astype(np.float32)
+    want = dense @ x
+    # bf16 inputs: expect bf16-level accuracy, not fp32 parity
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() < 0.03 * max(scale, 1.0)
