@@ -40,3 +40,10 @@ from of_spmm_tpu.parallel.sp import (
     ulysses_attention,
 )
 from of_spmm_tpu.parallel.ring import RingAttention, ring_attention
+from of_spmm_tpu.parallel.ep import MoELayer, expert_capacity, top_k_dispatch
+from of_spmm_tpu.parallel.pipeline import (
+    PipelineModule,
+    gpipe_spmd,
+    pipeline_apply,
+    stack_stage_params,
+)
