@@ -136,6 +136,182 @@ def pipeline_apply(
     )(stacked_params, x_micro)
 
 
+# --------------------------------------------------------------------------
+# 1F1B schedule
+# --------------------------------------------------------------------------
+#
+# The reference gets 1F1B steady state from actor regst backpressure: each
+# stage owns a fixed number of activation registers, so forwards stall once
+# the buffers fill and a backward must retire one first
+# (oneflow/core/job_rewriter/pipeline_buffer_pass.cpp:80-113). The SPMD
+# re-expression below runs every stage in lockstep: each lax.scan cycle
+# has one F slot and one B slot per stage (masked when the schedule says
+# idle -- SPMD lockstep burns the bubble as masked compute, the same cost
+# shape as an idle actor). With one ppermute hop per slot the dataflow-
+# minimal schedule is closed-form:
+#   fwd microbatch at stage s, cycle c:  f = c - s
+#   bwd microbatch at stage s, cycle c:  b = c - (2S - 2 - s)
+# so total cycles = M + 2(S - 1) and the per-stage in-flight count is
+# f - b <= 2(S - 1 - s) + 1: bounded by the PIPELINE DEPTH, independent of
+# the microbatch count. The activation stash is therefore a static
+# (2*n_stages, ...) circular buffer -- the reference's regst-budget
+# semantics (buffers sized by stage distance, not by n_micro), versus
+# GPipe's O(n_micro) stash. (An async runtime can halve this to S - s by
+# throttling warm-up; a lockstep SPMD schedule cannot, because the F and B
+# hops of one cycle are synchronous -- the price of deriving 1F1B inside
+# one jitted scan.)
+
+
+def _fwd_mb(c, s, S):
+    """Microbatch forwarded by stage s at cycle c (-1 = idle F slot)."""
+    f = c - s
+    return jnp.where(f >= 0, f, -1)
+
+
+def _bwd_mb(c, s, S):
+    """Microbatch backwarded by stage s at cycle c (-1 = idle B slot)."""
+    b = c - (2 * S - 2 - s)
+    return jnp.where(b >= 0, b, -1)
+
+
+def train_step_1f1b(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    loss_fn: Callable[[jnp.ndarray, Any], jnp.ndarray],
+    n_stages: int,
+    n_micro: int,
+    axis: str = "stage",
+):
+    """Build a 1F1B pipelined train step to run INSIDE shard_map.
+
+    Returns ``step(stacked_params_local, x_micro, tgt_micro) ->
+    (mean_loss, stacked_param_grads_local)``. ``stage_fn(params, x) -> y``
+    is the shape-uniform stage body; ``loss_fn(y, tgt) -> scalar`` is
+    applied by the last stage to each microbatch (mean-reduced). Parameter
+    gradients come out S(0)-stacked exactly like the parameters, ready for
+    a per-stage optimizer update.
+
+    Memory: the activation stash is a static (2*n_stages, ...) circular
+    buffer — peak stashed activations per stage <= 2(n_stages - s) - 1,
+    bounded by pipeline depth regardless of n_micro (assertable from the
+    carry structure; see tests/test_pipeline_1f1b.py).
+    """
+    S, M = n_stages, n_micro
+    fwd_perm = [(i, i + 1) for i in range(S - 1)]
+    bwd_perm = [(i + 1, i) for i in range(S - 1)]
+
+    def step(stacked_local: Any, x_micro: jnp.ndarray,
+             tgt_micro: jnp.ndarray):
+        params = _local_stage_slice(stacked_local)
+        s = jax.lax.axis_index(axis)
+        is_first = s == 0
+        is_last = s == S - 1
+        act_shape = x_micro.shape[1:]
+        cycles = M + 2 * (S - 1)
+
+        zero_act = jnp.zeros(act_shape, x_micro.dtype)
+        carry0 = dict(
+            stash=jnp.zeros((2 * S,) + act_shape, x_micro.dtype),
+            in_msg=zero_act,          # activation arriving from stage s-1
+            grad_msg=zero_act,        # gradient arriving from stage s+1
+            gparams=jax.tree_util.tree_map(jnp.zeros_like, params),
+            loss=jnp.zeros((), jnp.float32),
+        )
+
+        def cycle(carry, c):
+            f = _fwd_mb(c, s, S)
+            b = _bwd_mb(c, s, S)
+            do_f = jnp.logical_and(f >= 0, f < M)
+            do_b = jnp.logical_and(b >= 0, b < M)
+
+            # ---- F slot -------------------------------------------------
+            x_own = jax.lax.dynamic_index_in_dim(
+                x_micro, jnp.clip(f, 0, M - 1), 0, keepdims=False)
+            x_in = jnp.where(is_first, x_own, carry["in_msg"])
+            y = stage_fn(params, x_in)
+            stash = jnp.where(
+                do_f,
+                jax.lax.dynamic_update_index_in_dim(
+                    carry["stash"], x_in, jnp.clip(f, 0, M - 1) % (2 * S),
+                    0),
+                carry["stash"],
+            )
+
+            # ---- B slot -------------------------------------------------
+            x_b = jax.lax.dynamic_index_in_dim(
+                stash, jnp.clip(b, 0, M - 1) % (2 * S), 0, keepdims=False)
+
+            def fwd_loss(p, x, tgt):
+                out = stage_fn(p, x)
+                # last stage folds the loss; others pass activations on
+                lval = loss_fn(out, tgt)
+                return jnp.where(is_last, lval, 0.0), out
+
+            tgt_b = jax.tree_util.tree_map(
+                lambda t: jax.lax.dynamic_index_in_dim(
+                    t, jnp.clip(b, 0, M - 1), 0, keepdims=False),
+                tgt_micro,
+            )
+            (lval, y_b), vjp = jax.vjp(
+                lambda p, x: fwd_loss(p, x, tgt_b), params, x_b)
+            # seed: last stage seeds d(loss)=1/M; others seed the gradient
+            # message that arrived from stage s+1
+            seed_l = jnp.where(is_last, jnp.float32(1.0 / M), 0.0)
+            seed_y = jnp.where(is_last, jnp.zeros_like(y_b),
+                               carry["grad_msg"].astype(y_b.dtype))
+            dparams, dx = vjp((seed_l, seed_y))
+            mask = do_b.astype(jnp.float32)
+            gparams = jax.tree_util.tree_map(
+                lambda acc, g: acc + mask * g, carry["gparams"], dparams)
+            loss = carry["loss"] + mask * jnp.where(is_last, lval, 0.0) / M
+
+            # ---- communication -----------------------------------------
+            y_send = jnp.where(do_f, y, jnp.zeros_like(y))
+            dx_send = jnp.where(do_b, dx, jnp.zeros_like(dx))
+            in_msg = (jax.lax.ppermute(y_send, axis, fwd_perm)
+                      if S > 1 else jnp.zeros_like(y))
+            grad_msg = (jax.lax.ppermute(dx_send, axis, bwd_perm)
+                        if S > 1 else jnp.zeros_like(dx))
+
+            return dict(stash=stash, in_msg=in_msg, grad_msg=grad_msg,
+                        gparams=gparams, loss=loss), None
+
+        carry, _ = jax.lax.scan(cycle, carry0, jnp.arange(cycles))
+        # every stage holds its own param grads; loss lives on last stage
+        loss = jax.lax.psum(carry["loss"], axis)
+        gstacked = jax.tree_util.tree_map(
+            lambda g: g[None], carry["gparams"])
+        return loss, gstacked
+
+    return step
+
+
+def pipeline_train_step_1f1b(
+    stage_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    loss_fn: Callable[[jnp.ndarray, Any], jnp.ndarray],
+    stacked_params: Any,
+    x_micro: jnp.ndarray,
+    tgt_micro: Any,
+    mesh: Mesh,
+    axis: str = "stage",
+):
+    """1F1B pipelined (loss, stacked_grads) over ``axis`` of ``mesh``.
+
+    Drop-in training-step counterpart of :func:`pipeline_apply`; grads are
+    S(0)-sharded over stages like the parameters.
+    """
+    n_stages = mesh.shape[axis]
+    n_micro = x_micro.shape[0]
+    step = train_step_1f1b(stage_fn, loss_fn, n_stages, n_micro, axis=axis)
+    pspec = jax.tree_util.tree_map(lambda _: P(axis), stacked_params)
+    return jax.shard_map(
+        step,
+        mesh=mesh,
+        in_specs=(pspec, P(), P()),
+        out_specs=(P(), pspec),
+        check_vma=False,
+    )(stacked_params, x_micro, tgt_micro)
+
+
 @dataclasses.dataclass(frozen=True)
 class PipelineModule:
     """Module-flavored wrapper: a Sequential split into shape-uniform stages.
