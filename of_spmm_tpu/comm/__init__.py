@@ -98,6 +98,36 @@ def send_recv_next(x: jnp.ndarray, axis_name: str = "x", shift: int = 1):
     return jax.lax.ppermute(x, axis_name, perm=perm)
 
 
+def send_recv(x: jnp.ndarray, src: int, dst: int, axis_name: str = "x"):
+    """Arbitrary-pair point-to-point transfer inside shard_map.
+
+    The SPMD form of the reference's Send/Recv functor pair
+    (oneflow/core/functional/impl/comm_functor.cpp:331-373): ``src``'s
+    shard value arrives on ``dst``; every other shard receives zeros (the
+    reference's recv allocates fresh memory — zeros are the SPMD
+    placeholder). Needed for non-ring pipeline topologies and
+    cross-placement boxing. Static (plan-time) src/dst, like the
+    reference's rank arguments.
+    """
+    return jax.lax.ppermute(x, axis_name, perm=[(src, dst)])
+
+
+def send_recv_pairs(x: jnp.ndarray, pairs: Sequence[tuple],
+                    axis_name: str = "x"):
+    """Batch of disjoint (src, dst) point-to-point transfers — the
+    device-generic ccl Send/Recv list (collective_communication.h:44-62);
+    shards not named as a dst receive zeros."""
+    return jax.lax.ppermute(x, axis_name, perm=list(pairs))
+
+
+def transfer(x, dst_device):
+    """Eager cross-device tensor transfer OUTSIDE shard_map — the analog
+    of the reference's eager Send/Recv between placements (data moved by
+    the runtime, not by a collective): jax.device_put handles host/ICI/DCN
+    routing."""
+    return jax.device_put(x, dst_device)
+
+
 __all__ = [
     "all_reduce",
     "all_reduce_mean",
@@ -108,4 +138,7 @@ __all__ = [
     "reduce",
     "permute",
     "send_recv_next",
+    "send_recv",
+    "send_recv_pairs",
+    "transfer",
 ]
