@@ -140,6 +140,8 @@ class DataLoader:
         prefetch: int = 2,
         num_workers: int = 0,
     ):
+        if batch_size < 1:
+            raise ValueError(f"batch_size must be >= 1, got {batch_size}")
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle

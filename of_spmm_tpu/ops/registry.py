@@ -77,6 +77,9 @@ def register_op(
 
 
 def lookup(name: str) -> OpDef:
+    if name not in _REGISTRY:
+        raise KeyError(
+            f"unknown op {name!r}; registered ops: {', '.join(all_ops())}")
     return _REGISTRY[name]
 
 
