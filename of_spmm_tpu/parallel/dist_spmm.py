@@ -19,6 +19,13 @@ cotangent of the all_to_all is the reverse all_to_all, and the cotangent of
 the send-gather is a scatter-add — jax derives the whole reverse halo
 exchange automatically (the hand-written analog in the reference is the
 gather<->segment_sum SBP pairing).
+
+The "pallas" impl is differentiable through a custom_vjp around the LOCAL
+SpMM: the backward runs the same Pallas kernel on the plan's transposed
+local matrices (plan.transpose_buckets, dXcat = A_local^T @ dY), while jax
+transposes the surrounding take/all_to_all/concatenate — so the flagship
+kernel runs in both the distributed forward AND backward (the distributed
+face of gradient_funcs/gather.cpp:62-73).
 """
 
 from __future__ import annotations
@@ -65,6 +72,70 @@ def pad_x_for_plan(plan: RowPartitionPlan, x: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
 
 
+def _squeeze_arrays(buckets):
+    return tuple(
+        (r.reshape(r.shape[1:]), c.reshape(c.shape[1:]),
+         v.reshape(v.shape[1:]))
+        for (r, c, v) in buckets
+    )
+
+
+def _mk_binned(sq, shape) -> BinnedEll:
+    ell = tuple(EllBucket(row_ids=r, cols=c, vals=v) for (r, c, v) in sq)
+    return BinnedEll(buckets=ell, shape=shape, has_split_rows=True)
+
+
+def _make_pallas_local(plan: RowPartitionPlan, split: bool):
+    """Differentiable Pallas local SpMM: custom_vjp whose backward runs the
+    same kernel on the transposed local plan (plan.transpose_buckets).
+
+    Bucket arrays are ARGUMENTS (not closures — custom_vjp forbids traced
+    closures); their cotangents are structural zeros, matching the
+    reference's requires_grad=False on indices
+    (user/ops/gather_op.cpp:44-50)."""
+    n_xcat = plan.cols_per_shard + plan.n_shards * plan.halo_size
+    fwd_shape = (plan.rows_per_shard, n_xcat)
+    t_shape = (n_xcat, plan.rows_per_shard)
+
+    if split:
+        @jax.custom_vjp
+        def f(int_sq, bnd_sq, t_sq, x_local, halo):
+            y = spmm_pallas(_mk_binned(int_sq, fwd_shape), x_local)
+            xcat = jnp.concatenate([x_local, halo], axis=0)
+            return y + spmm_pallas(_mk_binned(bnd_sq, fwd_shape), xcat)
+
+        def f_fwd(int_sq, bnd_sq, t_sq, x_local, halo):
+            return f(int_sq, bnd_sq, t_sq, x_local, halo), \
+                (int_sq, bnd_sq, t_sq)
+
+        def f_bwd(res, dy):
+            int_sq, bnd_sq, t_sq = res
+            dxcat = spmm_pallas(_mk_binned(t_sq, t_shape), dy)
+            cps = plan.cols_per_shard
+            zeros = jax.tree_util.tree_map(jnp.zeros_like,
+                                           (int_sq, bnd_sq, t_sq))
+            return (*zeros, dxcat[:cps], dxcat[cps:])
+
+        f.defvjp(f_fwd, f_bwd)
+        return f
+
+    @jax.custom_vjp
+    def g(fwd_sq, t_sq, xcat):
+        return spmm_pallas(_mk_binned(fwd_sq, fwd_shape), xcat)
+
+    def g_fwd(fwd_sq, t_sq, xcat):
+        return g(fwd_sq, t_sq, xcat), (fwd_sq, t_sq)
+
+    def g_bwd(res, dy):
+        fwd_sq, t_sq = res
+        dxcat = spmm_pallas(_mk_binned(t_sq, t_shape), dy)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, (fwd_sq, t_sq))
+        return (*zeros, dxcat)
+
+    g.defvjp(g_fwd, g_bwd)
+    return g
+
+
 def dist_spmm(
     plan: RowPartitionPlan,
     x: jnp.ndarray,
@@ -76,8 +147,8 @@ def dist_spmm(
 
     ``x`` is the global (m, d) feature matrix (replicated or sharded; it is
     resharded to row-split). Returns the global (n, d) result row-split
-    across the mesh. impl="xla" is differentiable; impl="pallas" uses the
-    hand-written kernel (forward).
+    across the mesh. Both impls are differentiable ("pallas" via the
+    transpose-plan custom_vjp when the plan was built with_transpose).
     """
     S = plan.n_shards
     if mesh.shape[axis] != S:
@@ -104,11 +175,17 @@ def dist_spmm(
             return spmm_pallas(binned, xcat)
         return ref.spmm_binned_xla(binned, xcat)
 
+    diff_pallas = impl == "pallas" and plan.transpose_buckets is not None
+    t_arrays = (
+        _arrays(plan.transpose_buckets) if diff_pallas else ()
+    )
+
     if plan.split:
         interior_arrays = _arrays(plan.interior_buckets)
         boundary_arrays = _arrays(plan.boundary_buckets)
+        f_split = _make_pallas_local(plan, split=True) if diff_pallas else None
 
-        def body(send_idx, interior, boundary, x_local):
+        def body(send_idx, interior, boundary, t_arr, x_local):
             send_idx = send_idx.reshape(S, H)
             send = jnp.take(x_local, send_idx.reshape(-1), axis=0) \
                 .reshape(S, H, d)
@@ -116,6 +193,10 @@ def dist_spmm(
             # dependency on it, so XLA overlaps them (async collectives)
             halo = jax.lax.all_to_all(
                 send, axis, split_axis=0, concat_axis=0, tiled=False)
+            if diff_pallas:
+                return f_split(_squeeze(interior), _squeeze(boundary),
+                               _squeeze(t_arr), x_local,
+                               halo.reshape(S * H, d))
             y = _spmm(interior, x_local)  # overlaps with the all_to_all
             xcat = jnp.concatenate([x_local, halo.reshape(S * H, d)], axis=0)
             return y + _spmm(boundary, xcat)
@@ -127,16 +208,20 @@ def dist_spmm(
                 P(axis),
                 jax.tree_util.tree_map(lambda _: P(axis), interior_arrays),
                 jax.tree_util.tree_map(lambda _: P(axis), boundary_arrays),
+                jax.tree_util.tree_map(lambda _: P(axis), t_arrays),
                 P(axis),
             ),
             out_specs=P(axis),
+            check_vma=False,
         )
-        out = shard(plan.send_idx, interior_arrays, boundary_arrays, xp)
+        out = shard(plan.send_idx, interior_arrays, boundary_arrays,
+                    t_arrays, xp)
         return out[: plan.shape[0]]
 
     bucket_arrays = _arrays(plan.buckets)
+    f_plain = _make_pallas_local(plan, split=False) if diff_pallas else None
 
-    def body(send_idx, buckets, x_local):
+    def body(send_idx, buckets, t_arr, x_local):
         send_idx = send_idx.reshape(S, H)  # (1, S, H) -> (S, H)
         # 1) export halo rows: rows this shard owns that each peer needs
         send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(S, H, d)
@@ -144,15 +229,21 @@ def dist_spmm(
         halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
         # 3) local row-binned SpMM over [own rows ; halo buffer]
         xcat = jnp.concatenate([x_local, halo.reshape(S * H, d)], axis=0)
+        if diff_pallas:
+            return f_plain(_squeeze(buckets), _squeeze(t_arr), xcat)
         return _spmm(buckets, xcat)
 
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(axis), jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays), P(axis)),
+        in_specs=(P(axis),
+                  jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays),
+                  jax.tree_util.tree_map(lambda _: P(axis), t_arrays),
+                  P(axis)),
         out_specs=P(axis),
+        check_vma=False,  # pallas_call inside the body predates vma typing
     )
-    out = shard(plan.send_idx, bucket_arrays, xp)
+    out = shard(plan.send_idx, bucket_arrays, t_arrays, xp)
     return out[: plan.shape[0]]
 
 
@@ -199,6 +290,7 @@ def dist_spmm_allgather(
         mesh=mesh,
         in_specs=(P(), jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays), P(axis)),
         out_specs=P(axis),
+        check_vma=False,  # pallas_call inside the body predates vma typing
     )
     out = shard(plan.send_idx, bucket_arrays, xp)
     return out[: plan.shape[0]]

@@ -84,23 +84,29 @@ class RowPartitionPlan:
     halo_size: int  # H
     interior_buckets: Optional[Tuple[StackedBucket, ...]] = None
     boundary_buckets: Optional[Tuple[StackedBucket, ...]] = None
+    # transposed local matrices (cps + S*H, rps), binned+stacked: the
+    # backward of the local SpMM (dXcat = A_local^T @ dY) for the Pallas
+    # impl's custom_vjp — the distributed face of the reference's
+    # gather<->segment-sum autograd pairing (gradient_funcs/gather.cpp).
+    transpose_buckets: Optional[Tuple[StackedBucket, ...]] = None
 
     def tree_flatten(self):
         children = (self.buckets, self.send_idx, self.interior_buckets,
-                    self.boundary_buckets)
+                    self.boundary_buckets, self.transpose_buckets)
         aux = (self.shape, self.n_shards, self.rows_per_shard,
                self.cols_per_shard, self.halo_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        buckets, send_idx, interior, boundary = children
+        buckets, send_idx, interior, boundary, transpose = children
         shape, s, rps, cps, h = aux
         return cls(buckets=tuple(buckets), send_idx=send_idx, shape=shape,
                    n_shards=s, rows_per_shard=rps, cols_per_shard=cps,
                    halo_size=h,
                    interior_buckets=None if interior is None else tuple(interior),
-                   boundary_buckets=None if boundary is None else tuple(boundary))
+                   boundary_buckets=None if boundary is None else tuple(boundary),
+                   transpose_buckets=None if transpose is None else tuple(transpose))
 
     @property
     def split(self) -> bool:
@@ -117,6 +123,7 @@ def partition_rows(
     n_shards: int,
     ladder="auto",
     split_boundary: bool = False,
+    with_transpose: bool = True,
 ) -> RowPartitionPlan:
     """Build the plan (host-side, once per graph x shard count).
 
@@ -170,6 +177,7 @@ def partition_rows(
 
     # --- per-shard local CSR with remapped cols, then bin ----------------
     per_shard_binned = []
+    per_shard_t_binned = []
     for p in range(S):
         r0, r1, lo, hi = shard_slices[p]
         c = cols[lo:hi]
@@ -195,6 +203,22 @@ def partition_rows(
             local_indptr = np.concatenate(
                 [local_indptr, np.full(pad_rows, local_indptr[-1], np.int64)]
             )
+        if with_transpose:
+            # A_local^T (cps + S*H, rps): the local backward operator
+            local_rows = np.repeat(
+                np.arange(rps, dtype=np.int64), np.diff(local_indptr))
+            order = np.argsort(remapped, kind="stable")
+            t_cols = remapped[order]
+            t_counts = np.bincount(t_cols, minlength=cps + S * H)
+            t_indptr = np.zeros(cps + S * H + 1, np.int64)
+            np.cumsum(t_counts, out=t_indptr[1:])
+            t_csr = CSR.from_arrays(
+                t_indptr.astype(np.int64),
+                local_rows[order].astype(np.int32),
+                v[order],
+                (cps + S * H, rps),
+            )
+            per_shard_t_binned.append(bin_rows(t_csr, ladder=ladder))
         if split_boundary:
             # a row is BOUNDARY iff any of its nnz references halo
             # (remapped col >= cps); interior rows gather only local X.
@@ -228,6 +252,9 @@ def partition_rows(
             )
             per_shard_binned.append(bin_rows(local_csr, ladder=ladder))
 
+    t_buckets = (
+        _stack_binned(per_shard_t_binned, ladder) if with_transpose else None
+    )
     if split_boundary:
         interior = _stack_binned([a for a, _ in per_shard_binned], ladder)
         boundary = _stack_binned([b for _, b in per_shard_binned], ladder)
@@ -241,6 +268,7 @@ def partition_rows(
             halo_size=H,
             interior_buckets=interior,
             boundary_buckets=boundary,
+            transpose_buckets=t_buckets,
         )
     buckets = _stack_binned(per_shard_binned, ladder)
     return RowPartitionPlan(
@@ -251,6 +279,7 @@ def partition_rows(
         rows_per_shard=rps,
         cols_per_shard=cps,
         halo_size=H,
+        transpose_buckets=t_buckets,
     )
 
 

@@ -48,18 +48,26 @@ def test_dist_spmm_allgather_baseline_matches(n_shards=4):
     np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL, atol=1e-3)
 
 
-def test_dist_spmm_gradient_through_halo_exchange():
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize("split", [False, True])
+def test_dist_spmm_gradient_through_halo_exchange(impl, split):
+    """Both impls differentiate through the halo exchange; "pallas" runs
+    the flagship kernel in the backward too (transpose-plan custom_vjp,
+    VERDICT r1 item 6)."""
     n, d, S = 48, 4, 4
     dense = _random_dense(n, n, 0.15, seed=9)
-    plan = partition_rows(CSR.from_dense(dense), S)
+    plan = partition_rows(CSR.from_dense(dense), S, split_boundary=split)
     x = jnp.asarray(np.random.default_rng(3).standard_normal((n, d)).astype(np.float32))
     w = np.random.default_rng(4).standard_normal((n, d)).astype(np.float32)
 
     with _mesh(S) as mesh:
         def f(xx):
-            return jnp.sum(dist_spmm(plan, xx, mesh) * w)
+            return jnp.sum(dist_spmm(plan, xx, mesh, impl=impl) * w)
 
+        y = dist_spmm(plan, x, mesh, impl=impl)
         g = jax.grad(f)(x)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x),
+                               rtol=RTOL, atol=1e-3)
     want = dense.T @ w
     np.testing.assert_allclose(np.asarray(g), want, rtol=RTOL, atol=1e-3)
 
