@@ -1,0 +1,389 @@
+"""Fused-engine plan: per-tile staging schedule + hot-column cache.
+
+The round-2 SpMM engine (ops/pallas/fused.py) runs staging row-DMAs and
+one-hot MXU compute inside ONE Pallas kernel: while tile t's lanes are
+gathered/scattered on the MXU, the DMA engines pull tile t+1's unique cold
+columns from X in HBM into a double-buffered VMEM staging area. This plan
+precomputes, host-side:
+
+- the HOT TABLE: the columns referenced by the most tiles, kept
+  VMEM-resident for the whole call (power-law hubs never re-staged) —
+  chosen block-by-block (128 cols) while the expected lanes-per-tile-block
+  stays dense enough to fill one-hot lane groups;
+- per tile: the sorted unique COLD columns (the staging list) and the
+  lane groups: 128 lanes sharing one 128-row window of [hot | staged],
+  each lane carrying (window-local index, tile-local output row);
+- the per-step control stream: staging chunk base/count, compute-tile id,
+  buffer parities, first/last-step flags — so the kernel is a pure
+  interpreter of static arrays (variable steps per tile, variable staged
+  rows per tile).
+
+Cost model on the measured v5e rates (tools/proto_fused.py,
+tools/microbench_gather2.py): staged-row DMA ~346 Mrows/s on the DMA
+engines, one-hot hi/lo gather 2109 Mrows/s + 128-wide packed scatter on
+the MXU; the staging runs concurrently with compute, so
+  time ~= max(staged_rows / dma_rate, lanes / mxu_rate)
+versus round 1's serialized XLA-take staging + HBM round-trip.
+
+Reference semantics unchanged: gather x segment-sum
+(oneflow/user/ops/gather_op.cpp:51-82,
+oneflow/user/kernels/unsorted_segment_sum_kernel_util.cu:52-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from of_spmm_tpu.sparse.formats import CSR
+
+_L = 128
+DEFAULT_R = 512          # output rows per tile
+DEFAULT_T = 1024         # lanes per step (G = T/128 groups)
+DEFAULT_HOT_BUDGET = 16384   # max hot rows (x 512B hi|lo = 8 MB VMEM)
+DEFAULT_HOT_MIN_RUN = 32     # keep hot blocks while lanes/tile/block >= this
+DEFAULT_SEG_STEPS = 24576    # steps per pallas_call segment (SMEM prefetch)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FusedSegment:
+    """One pallas_call worth of steps (contiguous tiles)."""
+
+    ctrl: jnp.ndarray     # (steps, 1, 8) int32 per-step control words:
+    #  [0] compute tile id (block index into this segment's output; -1 none)
+    #  [1] first-step-of-tile flag (zero output + split staged hi/lo)
+    #  [2] staging chunk base row (within the staging buffer)
+    #  [3] staging count (rows to DMA this step; 0 = none)
+    #  [4] staging buffer parity to write
+    #  [5] compute buffer parity to read
+    #  [6] prev-step staging count (rows to wait)
+    #  [7] prev-step chunk base
+    scols: jnp.ndarray    # (steps, 8, DMAX/8) int32 X rows to stage
+    lidx: jnp.ndarray     # (steps*G, 128) int32 window-local gather idx
+    lrow: jnp.ndarray     # (steps*G, 128) int32 tile-local output row (R=pad)
+    blk: jnp.ndarray      # (steps, 1, G) int32 window block (hot-table-
+    #                        relative; >= H/128 means staged buffer)
+    tile_of: jnp.ndarray  # (steps,) int32 out block index (scalar prefetch)
+    val_hi: Optional[jnp.ndarray]  # (steps*G, 128) bf16 or None (rank-1)
+    val_lo: Optional[jnp.ndarray]
+    n_steps: int
+    n_tiles: int
+
+    def tree_flatten(self):
+        return ((self.ctrl, self.scols, self.lidx, self.lrow, self.blk,
+                 self.tile_of, self.val_hi, self.val_lo),
+                (self.n_steps, self.n_tiles))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        (ctrl, scols, lidx, lrow, blk, tile_of, val_hi, val_lo) = children
+        n_steps, n_tiles = aux
+        return cls(ctrl=ctrl, scols=scols, lidx=lidx, lrow=lrow, blk=blk,
+                   tile_of=tile_of, val_hi=val_hi, val_lo=val_lo,
+                   n_steps=n_steps, n_tiles=n_tiles)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FusedPlan:
+    segments: Tuple[FusedSegment, ...]
+    hot_ids: jnp.ndarray          # (H,) int32 global col ids of the hot table
+    row_scale: Optional[jnp.ndarray]  # (n_rows,) f32 rank-1 row factor
+    col_scale: Optional[jnp.ndarray]  # (n_cols,) f32 rank-1 col factor
+    shape: Tuple[int, int]
+    R: int
+    T: int
+    S_buf: int                    # staging buffer rows (per parity)
+    DMAX: int                     # max staging rows per step
+    n_staged: int                 # total cold staged rows (DMA volume)
+    n_lanes: int                  # total lanes incl. padding
+
+    def tree_flatten(self):
+        children = (self.segments, self.hot_ids, self.row_scale,
+                    self.col_scale)
+        aux = (self.shape, self.R, self.T, self.S_buf, self.DMAX,
+               self.n_staged, self.n_lanes)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        segments, hot_ids, row_scale, col_scale = children
+        shape, R, T, S_buf, DMAX, n_staged, n_lanes = aux
+        return cls(segments=tuple(segments), hot_ids=hot_ids,
+                   row_scale=row_scale, col_scale=col_scale, shape=shape,
+                   R=R, T=T, S_buf=S_buf, DMAX=DMAX, n_staged=n_staged,
+                   n_lanes=n_lanes)
+
+    @property
+    def n_hot(self) -> int:
+        return int(self.hot_ids.shape[0])
+
+    @property
+    def rank1(self) -> bool:
+        return self.row_scale is not None
+
+    def padding_efficiency(self, true_nnz: int) -> float:
+        return float(true_nnz) / max(self.n_lanes, 1)
+
+
+def _lane_groups(win_pos, rows, vals, R):
+    """Cut (sorted win_pos) lanes at 128-row window boundaries; pad runs to
+    full 128-lane groups. Returns (lidx, lrow, val, blk_of) per group."""
+    m = win_pos.shape[0]
+    if m == 0:
+        return (np.zeros((0, _L), np.int32), np.zeros((0, _L), np.int32),
+                np.zeros((0, _L), np.float32), np.zeros((0,), np.int32))
+    blk = win_pos // _L
+    bnd = np.nonzero(np.diff(blk))[0] + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [m]])
+    lens = ends - starts
+    plens = -(-lens // _L) * _L
+    out_off = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(plens, out=out_off[1:])
+    total = int(out_off[-1])
+    runid = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    dst = out_off[runid] + (np.arange(m, dtype=np.int64) - starts[runid])
+
+    lidx = np.zeros(total, dtype=np.int32)
+    lrow = np.full(total, R, dtype=np.int32)  # R = padding sentinel
+    val = np.zeros(total, dtype=np.float32)
+    lidx[dst] = (win_pos - blk * _L).astype(np.int32)
+    lrow[dst] = rows.astype(np.int32)
+    if vals is not None:
+        val[dst] = vals
+    blk_of = np.repeat(blk[starts].astype(np.int32), plens // _L)
+    return (lidx.reshape(-1, _L), lrow.reshape(-1, _L),
+            val.reshape(-1, _L), blk_of)
+
+
+def choose_hot(csr: CSR, R: int, hot_budget: int, min_run: int) -> np.ndarray:
+    """Pick hot columns: sort by tile-touch count, keep 128-blocks while the
+    average lanes-per-tile-per-block stays >= min_run (dense one-hot runs).
+
+    Returns global col ids (hot rank order). The tile-touch count (how many
+    R-row tiles reference the column) is exactly the staging volume the
+    column would otherwise cost."""
+    n, m = csr.shape
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols = np.asarray(csr.cols, dtype=np.int64)
+    n_tiles = max(-(-n // R), 1)
+    # tile-touch count per column: unique (tile, col) pairs
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    tiles = rows // R
+    key = tiles * m + cols
+    uniq_key = np.unique(key)
+    touch = np.bincount((uniq_key % m).astype(np.int64), minlength=m)
+    # in-reference count per column (lanes a hot block would serve)
+    refs = np.bincount(cols, minlength=m)
+    order = np.argsort(-touch, kind="stable")
+    max_hot = min(hot_budget, m) // _L * _L
+    if max_hot == 0:
+        return np.zeros(0, np.int64)
+    cand = order[:max_hot]
+    # keep whole 128-blocks while expected lanes/tile/block >= min_run
+    keep = 0
+    for b in range(max_hot // _L):
+        blk_refs = refs[cand[b * _L:(b + 1) * _L]].sum()
+        if blk_refs / n_tiles < min_run:
+            break
+        keep = b + 1
+    return cand[: keep * _L]
+
+
+def factor_rank1(csr: CSR, rtol: float = 1e-6):
+    """vals[e] = r[row[e]] * c[col[e]] detection — shared with expansion2
+    (the framework's normalized adjacencies are exactly this form)."""
+    from of_spmm_tpu.sparse.expansion2 import factor_rank1 as _f
+
+    return _f(csr, rtol=rtol)
+
+
+def build_fused_plan(
+    csr: CSR,
+    R: int = DEFAULT_R,
+    T: int = DEFAULT_T,
+    hot_budget: int = DEFAULT_HOT_BUDGET,
+    hot_min_run: int = DEFAULT_HOT_MIN_RUN,
+    seg_steps: int = DEFAULT_SEG_STEPS,
+    rank1: Optional[bool] = None,
+    dma_wave: int = 64,
+) -> FusedPlan:
+    """Host-side fused-engine plan build (numpy; native fast path TBD)."""
+    n, m = csr.shape
+    G = T // _L
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols_all = np.asarray(csr.cols, dtype=np.int64)
+    vals_all = np.asarray(csr.vals, dtype=np.float32)
+    n_tiles = max(-(-n // R), 1)
+
+    factors = factor_rank1(csr) if rank1 in (None, True) else None
+    if rank1 is True and factors is None:
+        raise ValueError("rank1=True but values do not factor as r_i*c_j")
+    use_rank1 = factors is not None
+    row_scale = col_scale = None
+    if use_rank1:
+        row_scale, col_scale = factors
+
+    hot_ids = choose_hot(csr, R, hot_budget, hot_min_run)
+    H = hot_ids.shape[0]
+    hot_rank = np.full(m, -1, dtype=np.int64)
+    hot_rank[hot_ids] = np.arange(H, dtype=np.int64)
+    n_hot_blocks = H // _L
+
+    # --- per tile: cold staging list + lane groups -----------------------
+    tiles_meta = []   # (stage_cols, lidx, lrow, val, blk_of, n_groups)
+    n_staged = 0
+    n_lanes = 0
+    for t in range(n_tiles):
+        r0, r1 = t * R, min((t + 1) * R, n)
+        lo, hi = indptr[r0], indptr[r1]
+        c = cols_all[lo:hi]
+        v = None if use_rank1 else vals_all[lo:hi]
+        r = np.repeat(np.arange(r1 - r0, dtype=np.int64),
+                      np.diff(indptr[r0:r1 + 1]))
+        hr = hot_rank[c]
+        is_hot = hr >= 0
+        # window position: hot lanes index the hot table head; cold lanes
+        # index [H + staged_pos] within the unified window space
+        c_cold = c[~is_hot]
+        uniq, inv = np.unique(c_cold, return_inverse=True)
+        win_pos = np.empty(c.shape[0], dtype=np.int64)
+        win_pos[is_hot] = hr[is_hot]
+        win_pos[~is_hot] = H + inv
+        order = np.argsort(win_pos, kind="stable")
+        li, lr, lv, bo = _lane_groups(
+            win_pos[order], r[order], None if use_rank1 else v[order], R)
+        n_grp = li.shape[0]
+        pad_g = G if n_grp == 0 else (-n_grp % G)
+        if pad_g:
+            li = np.concatenate([li, np.zeros((pad_g, _L), np.int32)])
+            lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
+            lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
+            bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
+        tiles_meta.append((uniq, li, lr, lv, bo))
+        n_staged += uniq.shape[0]
+        n_lanes += li.shape[0] * _L
+
+    # --- staging buffer size + per-step DMA quota -------------------------
+    steps_of = [max(tm[1].shape[0] // G, 1) for tm in tiles_meta]
+    S_buf = max(max(tm[0].shape[0] for tm in tiles_meta), _L)
+    S_buf += -S_buf % _L
+    # DMAX: tile t+1's staged rows spread over tile t's steps (tile 0 over
+    # a prologue sized like its own step count)
+    DMAX = dma_wave
+    for t in range(n_tiles):
+        budget_steps = steps_of[t - 1] if t else steps_of[0]
+        need = -(-tiles_meta[t][0].shape[0] // budget_steps)
+        DMAX = max(DMAX, need)
+    DMAX += -DMAX % dma_wave
+
+    # --- emit segments ----------------------------------------------------
+    segments = []
+    seg_start = 0
+    while seg_start < n_tiles:
+        seg_tiles = [seg_start]
+        total = steps_of[seg_start] + steps_of[seg_start]  # prologue + t0
+        while (seg_tiles[-1] + 1 < n_tiles
+               and total + steps_of[seg_tiles[-1] + 1] <= seg_steps):
+            seg_tiles.append(seg_tiles[-1] + 1)
+            total += steps_of[seg_tiles[-1]]
+        segments.append(
+            _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G,
+                          S_buf, DMAX, use_rank1))
+        seg_start = seg_tiles[-1] + 1
+
+    return FusedPlan(
+        segments=tuple(segments),
+        hot_ids=jnp.asarray(hot_ids.astype(np.int32)),
+        row_scale=(jnp.asarray(row_scale.astype(np.float32))
+                   if use_rank1 else None),
+        col_scale=(jnp.asarray(col_scale.astype(np.float32))
+                   if use_rank1 else None),
+        shape=csr.shape,
+        R=R, T=T, S_buf=int(S_buf), DMAX=int(DMAX),
+        n_staged=int(n_staged), n_lanes=int(n_lanes),
+    )
+
+
+def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
+                  rank1):
+    """Lay out one segment's step stream: a prologue staging the first
+    tile, then per tile: compute steps that also stage the NEXT tile."""
+    first = seg_tiles[0]
+    prologue = steps_of[first]
+    n_steps = prologue + sum(steps_of[t] for t in seg_tiles)
+
+    ctrl = np.zeros((n_steps, 1, 8), np.int32)
+    scols = np.zeros((n_steps, DMAX), np.int32)
+    lidx = np.zeros((n_steps * G, _L), np.int32)
+    lrow = np.full((n_steps * G, _L), R, np.int32)
+    blk = np.zeros((n_steps, 1, G), np.int32)
+    tile_of = np.zeros(n_steps, np.int32)
+    lval = None if rank1 else np.zeros((n_steps * G, _L), np.float32)
+
+    def fill_staging(tile, step_lo, step_hi, parity):
+        stage_cols = tiles_meta[tile][0]
+        nsteps = step_hi - step_lo
+        per = -(-stage_cols.shape[0] // nsteps) if stage_cols.shape[0] else 0
+        pos = 0
+        for s in range(step_lo, step_hi):
+            cnt = min(per, stage_cols.shape[0] - pos)
+            cnt = max(cnt, 0)
+            if cnt:
+                scols[s, :cnt] = stage_cols[pos:pos + cnt]
+            ctrl[s, 0, 2] = pos
+            ctrl[s, 0, 3] = cnt
+            ctrl[s, 0, 4] = parity
+            pos += cnt
+
+    # prologue: stage first tile into parity 0; no compute
+    ctrl[:prologue, 0, 0] = -1
+    fill_staging(first, 0, prologue, 0)
+
+    step = prologue
+    for j, t in enumerate(seg_tiles):
+        ns = steps_of[t]
+        uniq, li, lr, lv, bo = tiles_meta[t]
+        ctrl[step:step + ns, 0, 0] = j
+        ctrl[step, 0, 1] = 1  # first step: zero output + split staged
+        ctrl[step:step + ns, 0, 5] = j % 2
+        tile_of[step:step + ns] = j
+        lidx[step * G:(step + ns) * G] = li
+        lrow[step * G:(step + ns) * G] = lr
+        blk[step:step + ns, 0, :] = bo.reshape(ns, G)
+        if not rank1:
+            lval[step * G:(step + ns) * G] = lv
+        if j + 1 < len(seg_tiles):
+            fill_staging(seg_tiles[j + 1], step, step + ns, (j + 1) % 2)
+        step += ns
+
+    # prev-step staging info (for the one-behind DMA waits)
+    ctrl[1:, 0, 6] = ctrl[:-1, 0, 3]
+    ctrl[1:, 0, 7] = ctrl[:-1, 0, 2]
+
+    if rank1:
+        val_hi = val_lo = None
+    else:
+        val_hi = jnp.asarray(lval.astype(jnp.bfloat16))
+        val_lo = jnp.asarray(
+            (lval - np.asarray(val_hi).astype(np.float32)
+             ).astype(jnp.bfloat16))
+
+    return FusedSegment(
+        ctrl=jnp.asarray(ctrl),
+        scols=jnp.asarray(scols.reshape(n_steps, 8, DMAX // 8)),
+        lidx=jnp.asarray(lidx),
+        lrow=jnp.asarray(lrow),
+        blk=jnp.asarray(blk),
+        tile_of=jnp.asarray(tile_of),
+        val_hi=val_hi,
+        val_lo=val_lo,
+        n_steps=n_steps,
+        n_tiles=len(seg_tiles),
+    )

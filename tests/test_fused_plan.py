@@ -1,0 +1,89 @@
+"""Fused-engine plan build + numpy step simulator vs the dense oracle.
+
+The simulator (sparse/fused_sim.py) replays the exact kernel schedule
+(staging DMAs, parity buffers, hi/lo splits, one-hot windows), so these
+tests pin the PLAN's correctness independently of the Pallas kernel."""
+
+import numpy as np
+import pytest
+
+from of_spmm_tpu.sparse.formats import CSR
+from of_spmm_tpu.sparse.fused import build_fused_plan, choose_hot
+from of_spmm_tpu.sparse.fused_sim import simulate
+
+RTOL, ATOL = 1e-4, 1e-5
+
+
+def _graph(n, m, density, seed=0, rank1=False, skew=False):
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n, m)) < density).astype(np.float32)
+    if skew:
+        # a few hub columns referenced by most rows (power-law-ish)
+        hubs = rng.choice(m, size=max(m // 50, 1), replace=False)
+        dense[:, hubs] = (rng.random((n, hubs.shape[0])) < 0.6).astype(
+            np.float32)
+    if rank1:
+        r = rng.random(n).astype(np.float32) + 0.5
+        c = rng.random(m).astype(np.float32) + 0.5
+        dense = dense * r[:, None] * c[None, :]
+    else:
+        dense = dense * rng.random((n, m)).astype(np.float32)
+    return dense, CSR.from_dense(dense)
+
+
+@pytest.mark.parametrize("rank1", [False, True])
+@pytest.mark.parametrize("n,R,T", [(700, 128, 256), (1500, 256, 512)])
+def test_fused_sim_matches_dense(rank1, n, R, T):
+    dense, csr = _graph(n, n, 0.02, rank1=rank1, seed=3)
+    plan = build_fused_plan(csr, R=R, T=T, hot_budget=256, hot_min_run=1)
+    x = np.random.default_rng(1).standard_normal((n, 16)).astype(np.float32)
+    got = simulate(plan, x)
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_fused_sim_with_hot_cache_skewed():
+    dense, csr = _graph(900, 900, 0.01, skew=True, rank1=True, seed=7)
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=512, hot_min_run=2)
+    assert plan.n_hot > 0, "skewed graph should produce a hot table"
+    x = np.random.default_rng(2).standard_normal((900, 8)).astype(np.float32)
+    got = simulate(plan, x)
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_fused_plan_multi_segment():
+    dense, csr = _graph(1024, 1024, 0.02, rank1=True, seed=5)
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=0,
+                            seg_steps=8)  # force several segments
+    assert len(plan.segments) > 1
+    x = np.random.default_rng(4).standard_normal((1024, 8)).astype(
+        np.float32)
+    got = simulate(plan, x)
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_hot_cache_cuts_staging():
+    dense, csr = _graph(1200, 1200, 0.008, skew=True, rank1=True, seed=9)
+    cold = build_fused_plan(csr, R=128, T=256, hot_budget=0)
+    hot = build_fused_plan(csr, R=128, T=256, hot_budget=1024,
+                           hot_min_run=2)
+    assert hot.n_staged < cold.n_staged, (hot.n_staged, cold.n_staged)
+
+
+def test_choose_hot_orders_by_touch():
+    dense, csr = _graph(600, 600, 0.01, skew=True, seed=11)
+    ids = choose_hot(csr, R=128, hot_budget=256, min_run=1)
+    if ids.shape[0] >= 256:
+        cols = np.asarray(csr.cols)
+        rows = np.repeat(np.arange(600), np.diff(np.asarray(csr.indptr)))
+        touch = np.zeros(600)
+        for t in range(5):
+            sel = (rows // 128) == t
+            touch += np.isin(np.arange(600), cols[sel])
+        # first block should be at least as touched as the second
+        assert touch[ids[:128]].mean() >= touch[ids[128:256]].mean() - 1e-6
