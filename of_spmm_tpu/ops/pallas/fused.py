@@ -1,0 +1,254 @@
+"""Fused SpMM kernel: in-kernel DMA staging + one-hot MXU compute.
+
+Executes a sparse/fused.py FusedPlan, one pallas_call per segment. Per
+grid step the kernel interprets the plan's control word:
+
+1. DMA engines: issue this step's staging row copies (the NEXT tile's
+   unique cold columns, X rows pulled straight from HBM into the
+   double-buffered f32 staging scratch) and wait the previous step's —
+   one step behind, on a parity-split semaphore ring, so every copy is
+   waited before the grid ends and waits can only consume their own
+   step's completions. Rows are f32 (single-row bf16 DMAs crash Mosaic);
+2. first step of a tile: zero the output tile and split the staged f32
+   rows into the packed [hi|lo] bf16 window buffer whose head holds the
+   VMEM-resident hot table (copied once at segment start);
+3. every compute step: G one-hot gathers (128 lanes selecting rows of one
+   128-row window — exact selections, hi and lo side-by-side in one
+   (128,256) matmul) fill the lane buffer; one packed scatter one-hot
+   (R, T) @ (T, 256) accumulates into the tile. General (non-rank-1)
+   values fold into the scatter one-hot (vh*(ghi+glo) + vl*ghi, the
+   expansion-engine numerics); rank-1 values are folded into X and the
+   output scale outside the kernel.
+
+The DMA issue runs on the scalar core interleaved with MXU compute, so
+staging (measured ~346 Mrows/s, tools/microbench_gather2.py) overlaps the
+one-hot matmuls instead of round-tripping a staged table through HBM like
+round 1's expansion engine.
+
+Reference semantics: gather x segment-sum (oneflow/user/ops/
+gather_op.cpp:51-82, unsorted_segment_sum_kernel_util.cu:52-151).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from of_spmm_tpu.sparse.fused import _L, FusedPlan, FusedSegment
+
+_DN = (((1,), (0,)), ((), ()))
+_W = 64      # DMA wave width
+_NSEM = 16   # semaphore ring (split by step parity)
+
+
+def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
+            *rest, R, T, G, S_buf, H_blocks, DMAX, rank1, interpret):
+    if rank1:
+        vh_ref = vl_ref = None
+        hot_ref, xs_ref, o_ref, stage, hilo, gbuf, sem = rest
+    else:
+        vh_ref, vl_ref = rest[0], rest[1]
+        hot_ref, xs_ref, o_ref, stage, hilo, gbuf, sem = rest[2:]
+
+    i = pl.program_id(0)
+    tile = ctrl_ref[0, 0, 0]
+    first = ctrl_ref[0, 0, 1]
+    base = ctrl_ref[0, 0, 2]
+    cnt = ctrl_ref[0, 0, 3]
+    par_w = ctrl_ref[0, 0, 4]
+    par_r = ctrl_ref[0, 0, 5]
+    prev_cnt = ctrl_ref[0, 0, 6]
+    prev_base = ctrl_ref[0, 0, 7]
+    do_comp = tile >= 0
+    HALF = _NSEM // 2
+    CW = DMAX // 8  # scols row width
+
+    # ---- hot table: copy into the window head once per segment.
+    # Staged lists are 128-padded by the plan, so one-hot windows never
+    # read unwritten scratch rows (garbage/NaN x 0 is NaN on the MXU). ----
+    if H_blocks:
+        @pl.when(i == 0)
+        def _():
+            hilo[0:H_blocks * _L, :] = hot_ref[:]
+
+    # ---- staging DMAs ----------------------------------------------------
+    def mkdma(g, par, pos_base, step_par):
+        c = scols_ref[0, g // CW, g % CW]
+        slot = (g % HALF) + HALF * step_par
+        return pltpu.make_async_copy(
+            xs_ref.at[c], stage.at[par, pos_base + g], sem.at[slot])
+
+    NW = DMAX // _W
+    for w in range(NW):
+        for j in range(_W):
+            g = w * _W + j
+
+            @pl.when(g < cnt)
+            def _(g=g):
+                mkdma(g, par_w, base, i % 2).start()
+        for j in range(_W):
+            g = w * _W + j
+
+            @pl.when(jnp.logical_and(i > 0, g < prev_cnt))
+            def _(g=g):
+                # wait reconstructs a shape-identical copy; the previous
+                # step wrote the OTHER parity unless it staged the same
+                # tile — the plan encodes its base; parity = 1 - par only
+                # when the tile flips, so derive it from prev ctrl via the
+                # invariant: prev wrote into the buffer now being read
+                # (first step) or the same buffer still being written.
+                prev_par = jnp.where(first == 1, par_r, par_w)
+                mkdma(g, prev_par, prev_base, (i - 1) % 2).wait()
+
+    # ---- first step of a tile: zero output + split staged rows ----------
+    @pl.when(jnp.logical_and(do_comp, first == 1))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+        wbuf = stage[par_r]
+        hi = wbuf.astype(jnp.bfloat16)
+        lo = (wbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hilo[pl.ds(H_blocks * _L, S_buf), 0:_L] = hi
+        hilo[pl.ds(H_blocks * _L, S_buf), _L:2 * _L] = lo
+
+    # ---- one-hot gather + scatter ----------------------------------------
+    @pl.when(do_comp)
+    def _():
+        for g in range(G):
+            lanes = lidx_ref[g, :].reshape(_L, 1)
+            blk = blk_ref[0, 0, g]
+            oh = (
+                lanes == jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
+            ).astype(jnp.bfloat16)
+            win = hilo[pl.ds(blk * _L, _L), :]
+            gbuf[g * _L:(g + 1) * _L, :] = jax.lax.dot_general(
+                oh, win, _DN, preferred_element_type=jnp.float32
+            ).astype(jnp.bfloat16)
+        roh = (
+            jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
+            == lrow_ref[:].reshape(1, T)
+        ).astype(jnp.bfloat16)
+        if rank1:
+            s = jax.lax.dot_general(roh, gbuf[:], _DN,
+                                    preferred_element_type=jnp.float32)
+            acc = s[:, :_L] + s[:, _L:]
+        else:
+            rvh = roh * vh_ref[:].reshape(1, T)
+            rvl = roh * vl_ref[:].reshape(1, T)
+            s = jax.lax.dot_general(rvh, gbuf[:], _DN,
+                                    preferred_element_type=jnp.float32)
+            s2 = jax.lax.dot_general(rvl, gbuf[:, 0:_L], _DN,
+                                     preferred_element_type=jnp.float32)
+            acc = s[:, :_L] + s[:, _L:] + s2
+        o_ref[:] = o_ref[:] + acc
+
+
+def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
+                  interpret: bool) -> jnp.ndarray:
+    R, T = plan.R, plan.T
+    G = T // _L
+    H_blocks = plan.n_hot // _L
+    DMAX = plan.DMAX
+    rank1 = seg.val_hi is None
+
+    kernel = functools.partial(
+        _kernel, R=R, T=T, G=G, S_buf=plan.S_buf, H_blocks=H_blocks,
+        DMAX=DMAX, rank1=rank1, interpret=interpret)
+
+    def smem(shape):
+        return pl.BlockSpec(shape, lambda i, t: (i, 0, 0),
+                            memory_space=pltpu.SMEM)
+
+    def lanes():
+        return pl.BlockSpec((G, _L), lambda i, t: (i, 0),
+                            memory_space=pltpu.VMEM)
+
+    in_specs = [
+        smem((1, 1, 8)),                     # ctrl
+        smem((1, 8, DMAX // 8)),             # scols
+        smem((1, 1, G)),                     # blk
+        lanes(),                             # lidx
+        lanes(),                             # lrow
+    ]
+    args = [seg.ctrl, seg.scols, seg.blk, seg.lidx, seg.lrow]
+    if not rank1:
+        in_specs += [lanes(), lanes()]
+        args += [seg.val_hi, seg.val_lo]
+    in_specs += [
+        pl.BlockSpec((max(H_blocks * _L, _L), 256), lambda i, t: (0, 0),
+                     memory_space=pltpu.VMEM),   # hot table (packed hi|lo)
+        pl.BlockSpec(memory_space=pl.ANY),        # xs (HBM, DMA source)
+    ]
+    args += [hot_hilo, xs]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,   # tile_of
+        grid=(seg.n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, _L), lambda i, t: (t[i], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, plan.S_buf, _L), jnp.float32),
+            pltpu.VMEM((H_blocks * _L + plan.S_buf, 256), jnp.bfloat16),
+            pltpu.VMEM((T, 256), jnp.bfloat16),
+            pltpu.SemaphoreType.DMA((_NSEM,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((seg.n_tiles * R, _L), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=110 * 1024 * 1024),
+    )(seg.tile_of, *args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmm_fused_jit(plan: FusedPlan, x: jnp.ndarray,
+                    interpret: bool) -> jnp.ndarray:
+    xs = x.astype(jnp.float32)
+    if plan.col_scale is not None:
+        xs = xs * plan.col_scale[:, None]
+    H = plan.n_hot
+    if H:
+        hot = jnp.take(xs, plan.hot_ids, axis=0)
+        hi = hot.astype(jnp.bfloat16)
+        lo = (hot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hot_hilo = jnp.concatenate([hi, lo], axis=1)
+    else:
+        hot_hilo = jnp.zeros((_L, 256), jnp.bfloat16)
+    outs = [
+        _segment_call(seg, plan, hot_hilo, xs, interpret)
+        for seg in plan.segments
+    ]
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    out = out[: plan.shape[0]]
+    if plan.row_scale is not None:
+        out = out * plan.row_scale[:, None]
+    return out
+
+
+def spmm_fused(plan: FusedPlan, x: jnp.ndarray,
+               interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Y = A @ X with the fused staging+compute engine.
+
+    X columns beyond 128 run as additional 128-wide slabs (same plan,
+    sliced X) — the plan is feature-width-independent.
+    """
+    from of_spmm_tpu.ops.pallas.spmm import _pad_features
+    from of_spmm_tpu.utils.config import pallas_interpret_default
+
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    xp, d = _pad_features(x.astype(jnp.float32))
+    slabs = []
+    for s0 in range(0, xp.shape[1], _L):
+        slabs.append(_spmm_fused_jit(plan, xp[:, s0:s0 + _L], interpret))
+    out = jnp.concatenate(slabs, axis=1) if len(slabs) > 1 else slabs[0]
+    return out[:, :d].astype(x.dtype)

@@ -47,6 +47,7 @@ DEFAULT_T = 1024         # lanes per step (G = T/128 groups)
 DEFAULT_HOT_BUDGET = 16384   # max hot rows (x 512B hi|lo = 8 MB VMEM)
 DEFAULT_HOT_MIN_RUN = 32     # keep hot blocks while lanes/tile/block >= this
 DEFAULT_SEG_STEPS = 24576    # steps per pallas_call segment (SMEM prefetch)
+DMAX_CAP = 640               # max staging DMAs per step (static unroll bound)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -266,12 +267,38 @@ def build_fused_plan(
             lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
             lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
             bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
+        # pad the staged list to a 128 multiple (col 0 repeats) so every
+        # one-hot window row is freshly DMA'd — unwritten scratch rows are
+        # never read (garbage/NaN x 0 is NaN on the MXU, not 0)
+        pad_s = -uniq.shape[0] % _L
+        if pad_s:
+            uniq = np.concatenate([uniq, np.zeros(pad_s, uniq.dtype)])
         tiles_meta.append((uniq, li, lr, lv, bo))
         n_staged += uniq.shape[0]
         n_lanes += li.shape[0] * _L
 
     # --- staging buffer size + per-step DMA quota -------------------------
-    steps_of = [max(tm[1].shape[0] // G, 1) for tm in tiles_meta]
+    # steps per tile: enough compute steps for the lanes AND enough to
+    # stage the NEXT tile under the static-unroll cap (power-law tiles
+    # with few lanes but a heavy successor get padded idle steps)
+    steps_of = []
+    for t in range(n_tiles):
+        need_c = max(tiles_meta[t][1].shape[0] // G, 1)
+        nxt = tiles_meta[t + 1][0].shape[0] if t + 1 < n_tiles else 0
+        need_s = -(-nxt // DMAX_CAP)
+        steps_of.append(max(need_c, need_s, 1))
+    # pad lane arrays of tiles whose step count grew
+    for t in range(n_tiles):
+        uniq, li, lr, lv, bo = tiles_meta[t]
+        want_g = steps_of[t] * G
+        pad_g = want_g - li.shape[0]
+        if pad_g > 0:
+            li = np.concatenate([li, np.zeros((pad_g, _L), np.int32)])
+            lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
+            lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
+            bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
+            tiles_meta[t] = (uniq, li, lr, lv, bo)
+            n_lanes += pad_g * _L
     S_buf = max(max(tm[0].shape[0] for tm in tiles_meta), _L)
     S_buf += -S_buf % _L
     # DMAX: tile t+1's staged rows spread over tile t's steps (tile 0 over

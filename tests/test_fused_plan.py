@@ -87,3 +87,39 @@ def test_choose_hot_orders_by_touch():
             touch += np.isin(np.arange(600), cols[sel])
         # first block should be at least as touched as the second
         assert touch[ids[:128]].mean() >= touch[ids[128:256]].mean() - 1e-6
+
+
+# --- the Pallas kernel (interpret mode on CPU) -------------------------------
+
+
+@pytest.mark.parametrize("rank1", [True, False])
+def test_fused_kernel_matches_dense(rank1):
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+    dense, csr = _graph(700, 700, 0.02, rank1=rank1, seed=13)
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=256, hot_min_run=1)
+    x = np.random.default_rng(5).standard_normal((700, 16)).astype(
+        np.float32)
+    got = np.asarray(spmm_fused(plan, jnp.asarray(x)))
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_fused_kernel_wide_features_and_segments():
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+    dense, csr = _graph(512, 512, 0.03, rank1=True, seed=17, skew=True)
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=256,
+                            hot_min_run=1, seg_steps=8)
+    assert len(plan.segments) > 1
+    x = np.random.default_rng(6).standard_normal((512, 200)).astype(
+        np.float32)  # > 128 features -> two slabs
+    got = np.asarray(spmm_fused(plan, jnp.asarray(x)))
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
