@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import numpy as np
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -478,3 +479,107 @@ def segment_softmax(
     ex = jnp.exp(scores - ref.gather(seg_max, segment_ids))
     denom = segment_sum(ex, segment_ids, num_segments)
     return ex / (ref.gather(denom, segment_ids) + 1e-16)
+
+
+# ---------------------------------------------------------------------------
+# SpGEMM — host symbolic phase + DEVICE numeric phase (two-phase, the
+# reference's tmp-buffer shape pattern: sizes fixed before compute,
+# oneflow/user/kernels/unsorted_segment_sum_kernel.cpp:199-202).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class SpgemmPlan:
+    """Symbolic phase of C = A @ B: the output pattern plus, per scalar
+    product a_ik * b_kj, the positions of its operands and its output slot.
+
+    Built host-side (output nnz is unknown at trace time — SURVEY §7 hard
+    part 4); the numeric phase then runs on device as gather x multiply x
+    segment-sum, the same primitive pairing as the SpMM path."""
+
+    a_pos: jnp.ndarray     # (P,) int32 index into A.vals
+    b_pos: jnp.ndarray     # (P,) int32 index into B.vals
+    out_slot: jnp.ndarray  # (P,) int32 index into C.vals (sorted)
+    indptr: np.ndarray     # (n+1,) C row pointers
+    cols: np.ndarray       # (out_nnz,) C column indices
+    shape: Tuple[int, int]
+    out_nnz: int
+
+
+def spgemm_symbolic(a: CSR, b: CSR) -> SpgemmPlan:
+    """Expand the product structure and fix C's pattern (host, numpy)."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"spgemm shape mismatch: {a.shape} @ {b.shape}")
+    a_indptr = np.asarray(a.indptr).astype(np.int64)
+    a_cols = np.asarray(a.cols).astype(np.int64)
+    b_indptr = np.asarray(b.indptr).astype(np.int64)
+    b_cols = np.asarray(b.cols).astype(np.int64)
+
+    a_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                       np.diff(a_indptr))
+    exp_counts = (b_indptr[a_cols + 1] - b_indptr[a_cols]).astype(np.int64)
+    total = int(exp_counts.sum())
+    if total == 0:
+        return SpgemmPlan(
+            a_pos=jnp.zeros(0, jnp.int32), b_pos=jnp.zeros(0, jnp.int32),
+            out_slot=jnp.zeros(0, jnp.int32),
+            indptr=np.zeros(a.shape[0] + 1, np.int64),
+            cols=np.zeros(0, np.int32), shape=(a.shape[0], b.shape[1]),
+            out_nnz=0)
+    e_ids = np.repeat(np.arange(a_cols.shape[0], dtype=np.int64), exp_counts)
+    cum = np.zeros(a_cols.shape[0] + 1, dtype=np.int64)
+    np.cumsum(exp_counts, out=cum[1:])
+    intra = np.arange(total, dtype=np.int64) - np.repeat(cum[:-1], exp_counts)
+    b_pos = b_indptr[a_cols[e_ids]] + intra
+    out_rows = a_rows[e_ids]
+    out_cols = b_cols[b_pos]
+
+    key = out_rows * b.shape[1] + out_cols
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    boundary = np.empty(total, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = key_s[1:] != key_s[:-1]
+    slot_sorted = np.cumsum(boundary) - 1
+    out_nnz = int(slot_sorted[-1]) + 1
+    out_slot = np.empty(total, np.int64)
+    out_slot[order] = slot_sorted
+
+    red_rows = out_rows[order][boundary]
+    red_cols = out_cols[order][boundary]
+    counts = np.bincount(red_rows, minlength=a.shape[0])
+    indptr = np.zeros(a.shape[0] + 1, dtype=np.int64)
+    np.cumsum(counts, out=indptr[1:])
+    return SpgemmPlan(
+        a_pos=jnp.asarray(e_ids.astype(np.int32)),
+        b_pos=jnp.asarray(b_pos.astype(np.int32)),
+        out_slot=jnp.asarray(out_slot.astype(np.int32)),
+        indptr=indptr, cols=red_cols.astype(np.int32),
+        shape=(a.shape[0], b.shape[1]), out_nnz=out_nnz)
+
+
+@functools.partial(jax.jit, static_argnames=("out_nnz",))
+def spgemm_numeric(plan_a_pos, plan_b_pos, plan_out_slot, a_vals, b_vals,
+                   out_nnz: int) -> jnp.ndarray:
+    """Device numeric phase: gather both operand values, multiply, and
+    segment-sum into the fixed output slots (MXU/VPU path; differentiable
+    in both value arrays through the gather/segment-sum pairing)."""
+    prod = jnp.take(a_vals, plan_a_pos) * jnp.take(b_vals, plan_b_pos)
+    return jax.ops.segment_sum(prod, plan_out_slot, num_segments=out_nnz)
+
+
+def spgemm_device(a: CSR, b: CSR,
+                  plan: Optional[SpgemmPlan] = None) -> Tuple[CSR, SpgemmPlan]:
+    """C = A @ B with the numeric multiply-accumulate on device.
+
+    Returns (C, plan); pass the plan back in to recompute values for new
+    A/B values on the same patterns (the training-loop case)."""
+    if plan is None:
+        plan = spgemm_symbolic(a, b)
+    vals = spgemm_numeric(plan.a_pos, plan.b_pos, plan.out_slot,
+                          jnp.asarray(a.vals, jnp.float32),
+                          jnp.asarray(b.vals, jnp.float32),
+                          out_nnz=plan.out_nnz)
+    c = CSR.from_arrays(plan.indptr.astype(np.int64), plan.cols,
+                        vals, plan.shape)
+    return c, plan

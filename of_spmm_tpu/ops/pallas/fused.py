@@ -83,27 +83,23 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         return pltpu.make_async_copy(
             xs_ref.at[c], stage.at[par, pos_base + g], sem.at[slot])
 
+    # counts are wave multiples (plan invariant), so predication is per
+    # wave — 2*NW conditionals per step instead of 2*DMAX
     NW = DMAX // _W
+    prev_par = jnp.where(first == 1, par_r, par_w)
     for w in range(NW):
-        for j in range(_W):
-            g = w * _W + j
+        @pl.when(w * _W < cnt)
+        def _(w=w):
+            for j in range(_W):
+                mkdma(w * _W + j, par_w, base, i % 2).start()
 
-            @pl.when(g < cnt)
-            def _(g=g):
-                mkdma(g, par_w, base, i % 2).start()
-        for j in range(_W):
-            g = w * _W + j
-
-            @pl.when(jnp.logical_and(i > 0, g < prev_cnt))
-            def _(g=g):
-                # wait reconstructs a shape-identical copy; the previous
-                # step wrote the OTHER parity unless it staged the same
-                # tile — the plan encodes its base; parity = 1 - par only
-                # when the tile flips, so derive it from prev ctrl via the
-                # invariant: prev wrote into the buffer now being read
-                # (first step) or the same buffer still being written.
-                prev_par = jnp.where(first == 1, par_r, par_w)
-                mkdma(g, prev_par, prev_base, (i - 1) % 2).wait()
+        @pl.when(jnp.logical_and(i > 0, w * _W < prev_cnt))
+        def _(w=w):
+            # wait reconstructs a shape-identical copy (src identity is
+            # irrelevant); the previous step wrote the buffer now being
+            # read (first step of a tile) or the one still being written.
+            for j in range(_W):
+                mkdma(w * _W + j, prev_par, prev_base, (i - 1) % 2).wait()
 
     # ---- first step of a tile: zero output + split staged rows ----------
     @pl.when(jnp.logical_and(do_comp, first == 1))

@@ -132,6 +132,11 @@ class FusedPlan:
         return float(true_nnz) / max(self.n_lanes, 1)
 
 
+def place_plan(plan: FusedPlan) -> FusedPlan:
+    """Commit every plan leaf to the default device in one transfer."""
+    return jax.device_put(plan)
+
+
 def _lane_groups(win_pos, rows, vals, R):
     """Cut (sorted win_pos) lanes at 128-row window boundaries; pad runs to
     full 128-lane groups. Returns (lidx, lrow, val, blk_of) per group."""
@@ -325,13 +330,14 @@ def build_fused_plan(
                           S_buf, DMAX, use_rank1))
         seg_start = seg_tiles[-1] + 1
 
+    # leaves stay NUMPY (lazy device transfer; a remotely-tunneled chip
+    # would otherwise round-trip every array at build time — see
+    # sparse/formats.py). Use place_plan() to commit to the device once.
     return FusedPlan(
         segments=tuple(segments),
-        hot_ids=jnp.asarray(hot_ids.astype(np.int32)),
-        row_scale=(jnp.asarray(row_scale.astype(np.float32))
-                   if use_rank1 else None),
-        col_scale=(jnp.asarray(col_scale.astype(np.float32))
-                   if use_rank1 else None),
+        hot_ids=hot_ids.astype(np.int32),
+        row_scale=(row_scale.astype(np.float32) if use_rank1 else None),
+        col_scale=(col_scale.astype(np.float32) if use_rank1 else None),
         shape=csr.shape,
         R=R, T=T, S_buf=int(S_buf), DMAX=int(DMAX),
         n_staged=int(n_staged), n_lanes=int(n_lanes),
@@ -355,17 +361,24 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
     lval = None if rank1 else np.zeros((n_steps * G, _L), np.float32)
 
     def fill_staging(tile, step_lo, step_hi, parity):
+        # per-step counts are rounded to DMA-wave multiples (64) so the
+        # kernel predicates per WAVE, not per DMA (scalar-core cost);
+        # chunk tails re-copy the chunk's first rows (harmless rewrites)
         stage_cols = tiles_meta[tile][0]
         nsteps = step_hi - step_lo
         per = -(-stage_cols.shape[0] // nsteps) if stage_cols.shape[0] else 0
+        per += -per % 64
         pos = 0
         for s in range(step_lo, step_hi):
             cnt = min(per, stage_cols.shape[0] - pos)
             cnt = max(cnt, 0)
+            pad = -cnt % 64
             if cnt:
                 scols[s, :cnt] = stage_cols[pos:pos + cnt]
+                if pad:
+                    scols[s, cnt:cnt + pad] = stage_cols[pos:pos + pad]
             ctrl[s, 0, 2] = pos
-            ctrl[s, 0, 3] = cnt
+            ctrl[s, 0, 3] = cnt + pad
             ctrl[s, 0, 4] = parity
             pos += cnt
 
@@ -397,18 +410,18 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
     if rank1:
         val_hi = val_lo = None
     else:
-        val_hi = jnp.asarray(lval.astype(jnp.bfloat16))
-        val_lo = jnp.asarray(
-            (lval - np.asarray(val_hi).astype(np.float32)
-             ).astype(jnp.bfloat16))
+        val_hi = np.asarray(jnp.asarray(lval).astype(jnp.bfloat16))
+        val_lo = np.asarray(
+            jnp.asarray(lval - val_hi.astype(np.float32)
+                        ).astype(jnp.bfloat16))
 
     return FusedSegment(
-        ctrl=jnp.asarray(ctrl),
-        scols=jnp.asarray(scols.reshape(n_steps, 8, DMAX // 8)),
-        lidx=jnp.asarray(lidx),
-        lrow=jnp.asarray(lrow),
-        blk=jnp.asarray(blk),
-        tile_of=jnp.asarray(tile_of),
+        ctrl=ctrl,
+        scols=scols.reshape(n_steps, 8, DMAX // 8),
+        lidx=lidx,
+        lrow=lrow,
+        blk=blk,
+        tile_of=tile_of,
         val_hi=val_hi,
         val_lo=val_lo,
         n_steps=n_steps,

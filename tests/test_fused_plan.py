@@ -123,3 +123,40 @@ def test_fused_kernel_wide_features_and_segments():
     want = dense @ x
     np.testing.assert_allclose(got, want, rtol=RTOL,
                                atol=ATOL * np.abs(want).max() + ATOL)
+
+
+# --- device SpGEMM (VERDICT r1 item 4) ---------------------------------------
+
+
+def test_spgemm_device_matches_host():
+    import jax.numpy as jnp  # noqa: F401
+
+    from of_spmm_tpu.ops.autograd import spgemm_device
+    from of_spmm_tpu.ops.reference import spgemm as spgemm_host
+
+    rng = np.random.default_rng(0)
+    a = CSR.from_dense((rng.random((60, 50)) < 0.1).astype(np.float32)
+                       * rng.random((60, 50)).astype(np.float32))
+    b = CSR.from_dense((rng.random((50, 70)) < 0.1).astype(np.float32)
+                       * rng.random((50, 70)).astype(np.float32))
+    c_dev, plan = spgemm_device(a, b)
+    c_host = spgemm_host(a, b)
+    np.testing.assert_array_equal(np.asarray(c_dev.cols),
+                                  np.asarray(c_host.cols))
+    np.testing.assert_allclose(np.asarray(c_dev.vals),
+                               np.asarray(c_host.vals), rtol=1e-5)
+    # plan reuse with fresh values (training-loop case)
+    a2 = CSR(indptr=a.indptr, cols=a.cols,
+             vals=np.asarray(a.vals) * 2.0, shape=a.shape)
+    c2, _ = spgemm_device(a2, b, plan)
+    np.testing.assert_allclose(np.asarray(c2.vals),
+                               2 * np.asarray(c_dev.vals), rtol=1e-5)
+
+
+def test_spgemm_device_empty():
+    from of_spmm_tpu.ops.autograd import spgemm_device
+
+    a = CSR.from_dense(np.zeros((4, 5), np.float32))
+    b = CSR.from_dense(np.zeros((5, 6), np.float32))
+    c, plan = spgemm_device(a, b)
+    assert c.nnz == 0 and plan.out_nnz == 0

@@ -1,0 +1,108 @@
+"""Real-chip bring-up bench for the fused SpMM engine.
+
+Usage: python tools/bench_fused.py [graph] [R] [T] [hot_budget]
+
+Prints plan-build time, correctness vs the XLA oracle, and delta-timed
+ms/spmm + roofline fraction. Single TPU process; run alone.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    graph = sys.argv[1] if len(sys.argv) > 1 else "ogbn-arxiv"
+    R = int(sys.argv[2]) if len(sys.argv) > 2 else 512
+    T = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
+    hot = int(sys.argv[4]) if len(sys.argv) > 4 else 16384
+
+    import jax
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.data.cache import cached
+    from of_spmm_tpu.data.graphs import load_graph
+    from of_spmm_tpu.models.gcn import normalized_adjacency
+    from of_spmm_tpu.ops.pallas.fused import _spmm_fused_jit
+    from of_spmm_tpu.sparse.fused import build_fused_plan, place_plan
+    from of_spmm_tpu.utils.roofline import SpmmTraffic
+
+    t0 = time.time()
+    csr, cfg = load_graph(graph, symmetrize=True)
+    csr = normalized_adjacency(csr)
+    print(f"[{graph}] loaded n={csr.shape[0]:,} nnz={csr.nnz:,} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    t0 = time.time()
+    plan = cached(
+        "fusedplan", f"{graph}|sym|gcn-norm|R{R}|T{T}|hot{hot}|v3",
+        lambda: build_fused_plan(csr, R=R, T=T, hot_budget=hot))
+    build_s = time.time() - t0
+    t0 = time.time()
+    plan = place_plan(plan)
+    place_s = time.time() - t0
+    n_steps = sum(s.n_steps for s in plan.segments)
+    print(f"[{graph}] plan: R={R} T={T} hot={plan.n_hot} "
+          f"staged={plan.n_staged/1e6:.2f}M lanes={plan.n_lanes/1e6:.2f}M "
+          f"(nnz {csr.nnz/1e6:.1f}M, pad_eff "
+          f"{plan.padding_efficiency(csr.nnz):.3f}) S_buf={plan.S_buf} "
+          f"DMAX={plan.DMAX} steps={n_steps} segs={len(plan.segments)} "
+          f"rank1={plan.rank1} build={build_s:.1f}s "
+          f"place={place_s:.1f}s", flush=True)
+
+    n, m = plan.shape
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((m, 128)).astype(np.float32))
+
+    t0 = time.time()
+    y = _spmm_fused_jit(plan, x, False)
+    y.block_until_ready()
+    print(f"[{graph}] first call (compile): {time.time()-t0:.1f}s",
+          flush=True)
+
+    # correctness vs XLA segment-sum oracle on a row sample
+    from of_spmm_tpu.ops.reference import spmm as spmm_ref
+
+    t0 = time.time()
+    want = np.asarray(spmm_ref(csr, x))
+    got = np.asarray(y)[:n]
+    denom = np.abs(want).max() + 1e-9
+    rel = np.abs(got - want).max() / denom
+    print(f"[{graph}] parity vs oracle: rel={rel:.2e} "
+          f"({time.time()-t0:.1f}s)", flush=True)
+
+    # delta timing: k chained applications inside one jit (defeats the
+    # remote backend's per-call overheads and any dispatch memoization)
+    def mk(k):
+        def f(p, xx):
+            def body(_, carry):
+                return _spmm_fused_jit(p, carry, False)
+            return jax.lax.fori_loop(0, k, body, xx)
+        return jax.jit(f, static_argnums=())
+
+    f1, f3 = mk(1), mk(3)
+    f1(plan, x).block_until_ready()
+    f3(plan, x).block_until_ready()
+    t1 = []
+    t3 = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        f1(plan, x).block_until_ready()
+        t1.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        f3(plan, x).block_until_ready()
+        t3.append(time.perf_counter() - t0)
+    sec = (sorted(t3)[2] - sorted(t1)[2]) / 2
+    traffic = SpmmTraffic(nnz=csr.nnz, n_rows=n, n_cols=m, d=128)
+    sol = traffic.speed_of_light_s()
+    print(f"[{graph}] fused: {sec*1e3:.3f} ms/spmm  roofline="
+          f"{sol/sec:.3f}  (SoL {sol*1e3:.3f} ms)", flush=True)
+
+
+if __name__ == "__main__":
+    main()
