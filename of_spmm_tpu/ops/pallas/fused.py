@@ -58,12 +58,12 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
     i = pl.program_id(0)
     tile = ctrl_ref[0, 0, 0]
     first = ctrl_ref[0, 0, 1]
-    base = ctrl_ref[0, 0, 2]
+    base = ctrl_ref[0, 0, 2]       # parity-folded dst base (2-D stage)
     cnt = ctrl_ref[0, 0, 3]
-    par_w = ctrl_ref[0, 0, 4]
-    par_r = ctrl_ref[0, 0, 5]
+    split_base = ctrl_ref[0, 0, 5]
     prev_cnt = ctrl_ref[0, 0, 6]
     prev_base = ctrl_ref[0, 0, 7]
+    split_rows = ctrl_ref[0, 0, 8]
     do_comp = tile >= 0
     HALF = _NSEM // 2
     CW = DMAX // 8  # scols row width
@@ -77,39 +77,57 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             hilo[0:H_blocks * _L, :] = hot_ref[:]
 
     # ---- staging DMAs ----------------------------------------------------
-    def mkdma(g, par, pos_base, step_par):
+    # The scalar core pays per DMA op, so all per-DMA math is minimized:
+    # dst base carries the buffer parity (host-folded, one add per DMA),
+    # semaphore slots are STATIC (step parity chosen by duplicating the
+    # block under i%2 branches), and predication is per 64-wave (counts
+    # are wave multiples by plan invariant).
+    def mkdma(g, pos_base, slot_off):
         c = scols_ref[0, g // CW, g % CW]
-        slot = (g % HALF) + HALF * step_par
         return pltpu.make_async_copy(
-            xs_ref.at[c], stage.at[par, pos_base + g], sem.at[slot])
+            xs_ref.at[c], stage.at[pos_base + g],
+            sem.at[(g % HALF) + slot_off])
 
-    # counts are wave multiples (plan invariant), so predication is per
-    # wave — 2*NW conditionals per step instead of 2*DMAX
     NW = DMAX // _W
-    prev_par = jnp.where(first == 1, par_r, par_w)
-    for w in range(NW):
-        @pl.when(w * _W < cnt)
-        def _(w=w):
-            for j in range(_W):
-                mkdma(w * _W + j, par_w, base, i % 2).start()
 
-        @pl.when(jnp.logical_and(i > 0, w * _W < prev_cnt))
-        def _(w=w):
-            # wait reconstructs a shape-identical copy (src identity is
-            # irrelevant); the previous step wrote the buffer now being
-            # read (first step of a tile) or the one still being written.
-            for j in range(_W):
-                mkdma(w * _W + j, prev_par, prev_base, (i - 1) % 2).wait()
+    def dma_block(slot_issue, slot_wait):
+        for w in range(NW):
+            @pl.when(w * _W < cnt)
+            def _(w=w):
+                for j in range(_W):
+                    mkdma(w * _W + j, base, slot_issue).start()
 
-    # ---- first step of a tile: zero output + split staged rows ----------
+            @pl.when(jnp.logical_and(i > 0, w * _W < prev_cnt))
+            def _(w=w):
+                # wait reconstructs a shape-identical copy (src identity
+                # is irrelevant; prev dst base comes from the plan)
+                for j in range(_W):
+                    mkdma(w * _W + j, prev_base, slot_wait).wait()
+
+    @pl.when(i % 2 == 0)
+    def _():
+        dma_block(0, HALF)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        dma_block(HALF, 0)
+
+    # ---- first step of a tile: zero output + split staged rows (in 2048-
+    # row chunks gated on the tile's actual staged extent — small tiles
+    # must not pay for the hub-sized buffer) ------------------------------
+    SPLIT_CHUNK = min(2048, S_buf)
     @pl.when(jnp.logical_and(do_comp, first == 1))
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
-        wbuf = stage[par_r]
-        hi = wbuf.astype(jnp.bfloat16)
-        lo = (wbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        hilo[pl.ds(H_blocks * _L, S_buf), 0:_L] = hi
-        hilo[pl.ds(H_blocks * _L, S_buf), _L:2 * _L] = lo
+        for c0 in range(0, S_buf, SPLIT_CHUNK):
+            @pl.when(c0 < split_rows)
+            def _(c0=c0):
+                wbuf = stage[pl.ds(split_base + c0, SPLIT_CHUNK), :]
+                hi = wbuf.astype(jnp.bfloat16)
+                lo = (wbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                hilo[pl.ds(H_blocks * _L + c0, SPLIT_CHUNK), 0:_L] = hi
+                hilo[pl.ds(H_blocks * _L + c0, SPLIT_CHUNK),
+                     _L:2 * _L] = lo
 
     # ---- one-hot gather + scatter ----------------------------------------
     @pl.when(do_comp)
@@ -164,7 +182,7 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
                             memory_space=pltpu.VMEM)
 
     in_specs = [
-        smem((1, 1, 8)),                     # ctrl
+        smem((1, 1, 16)),                    # ctrl
         smem((1, 8, DMAX // 8)),             # scols
         smem((1, 1, G)),                     # blk
         lanes(),                             # lidx
@@ -188,7 +206,7 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
         out_specs=pl.BlockSpec((R, _L), lambda i, t: (t[i], 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, plan.S_buf, _L), jnp.float32),
+            pltpu.VMEM((2 * plan.S_buf, _L), jnp.float32),
             pltpu.VMEM((H_blocks * _L + plan.S_buf, 256), jnp.bfloat16),
             pltpu.VMEM((T, 256), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((_NSEM,)),

@@ -60,7 +60,9 @@ def _local_binned(plan: RowPartitionPlan, buckets) -> BinnedEll:
     )
     return BinnedEll(
         buckets=ell,
-        shape=(plan.rows_per_shard, plan.cols_per_shard + plan.n_shards * plan.halo_size),
+        shape=(plan.rows_per_shard,
+               plan.cols_per_shard + plan.n_shards * plan.halo_size
+               + plan.n_hubs),
         has_split_rows=True,  # conservative: always combine via scatter-add
     )
 
@@ -93,9 +95,11 @@ def _make_pallas_local(plan: RowPartitionPlan, split: bool):
     closures); their cotangents are structural zeros, matching the
     reference's requires_grad=False on indices
     (user/ops/gather_op.cpp:44-50)."""
-    n_xcat = plan.cols_per_shard + plan.n_shards * plan.halo_size
+    SH = plan.n_shards * plan.halo_size
+    n_xcat = plan.cols_per_shard + SH + plan.n_hubs
     fwd_shape = (plan.rows_per_shard, n_xcat)
     t_shape = (n_xcat, plan.rows_per_shard)
+    cps = plan.cols_per_shard
 
     if split:
         @jax.custom_vjp
@@ -111,7 +115,6 @@ def _make_pallas_local(plan: RowPartitionPlan, split: bool):
         def f_bwd(res, dy):
             int_sq, bnd_sq, t_sq = res
             dxcat = spmm_pallas(_mk_binned(t_sq, t_shape), dy)
-            cps = plan.cols_per_shard
             zeros = jax.tree_util.tree_map(jnp.zeros_like,
                                            (int_sq, bnd_sq, t_sq))
             return (*zeros, dxcat[:cps], dxcat[cps:])
@@ -134,6 +137,14 @@ def _make_pallas_local(plan: RowPartitionPlan, split: bool):
 
     g.defvjp(g_fwd, g_bwd)
     return g
+
+
+def _gather_hubs(plan, hub_idx_local, x_local, axis):
+    """One small all_gather of the replicated hub rows, reordered to
+    hub-rank order (the plan's remapped tail of the local index space)."""
+    own = jnp.take(x_local, hub_idx_local.reshape(-1), axis=0)
+    slab = jax.lax.all_gather(own, axis, axis=0, tiled=True)  # (S*Kmax, d)
+    return jnp.take(slab, plan.hub_perm, axis=0)              # (K, d)
 
 
 def dist_spmm(
@@ -220,15 +231,20 @@ def dist_spmm(
 
     bucket_arrays = _arrays(plan.buckets)
     f_plain = _make_pallas_local(plan, split=False) if diff_pallas else None
+    hub_idx = (plan.hub_local_idx if plan.n_hubs
+               else jnp.zeros((S, 1), jnp.int32))
 
-    def body(send_idx, buckets, t_arr, x_local):
+    def body(send_idx, buckets, t_arr, hub_idx_local, x_local):
         send_idx = send_idx.reshape(S, H)  # (1, S, H) -> (S, H)
         # 1) export halo rows: rows this shard owns that each peer needs
         send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(S, H, d)
         # 2) one static padded all-to-all: halo[q] = rows received from q
         halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
-        # 3) local row-binned SpMM over [own rows ; halo buffer]
-        xcat = jnp.concatenate([x_local, halo.reshape(S * H, d)], axis=0)
+        # 3) local row-binned SpMM over [own rows ; halo ; hub broadcast]
+        parts = [x_local, halo.reshape(S * H, d)]
+        if plan.n_hubs:
+            parts.append(_gather_hubs(plan, hub_idx_local, x_local, axis))
+        xcat = jnp.concatenate(parts, axis=0)
         if diff_pallas:
             return f_plain(_squeeze(buckets), _squeeze(t_arr), xcat)
         return _spmm(buckets, xcat)
@@ -239,11 +255,12 @@ def dist_spmm(
         in_specs=(P(axis),
                   jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays),
                   jax.tree_util.tree_map(lambda _: P(axis), t_arrays),
+                  P(axis),
                   P(axis)),
         out_specs=P(axis),
         check_vma=False,  # pallas_call inside the body predates vma typing
     )
-    out = shard(plan.send_idx, bucket_arrays, t_arrays, xp)
+    out = shard(plan.send_idx, bucket_arrays, t_arrays, hub_idx, xp)
     return out[: plan.shape[0]]
 
 

@@ -84,7 +84,16 @@ class RowPartitionPlan:
     halo_size: int  # H
     interior_buckets: Optional[Tuple[StackedBucket, ...]] = None
     boundary_buckets: Optional[Tuple[StackedBucket, ...]] = None
-    # transposed local matrices (cps + S*H, rps), binned+stacked: the
+    # hub replication (degree-aware halo bound): the K highest in-degree
+    # columns are excluded from the pairwise halo need-lists and instead
+    # broadcast once per call (one small all_gather) — on power-law graphs
+    # a single hub-heavy pair otherwise inflates every shard's padded H
+    # toward an all_gather. hub_local_idx[p, k] = p-local X row of the
+    # k-th hub slot owned by p (padded with 0); hub_perm maps the gathered
+    # (S, Kmax) slab to hub-rank order.
+    hub_local_idx: Optional[jnp.ndarray] = None   # (S, Kmax) int32
+    hub_perm: Optional[jnp.ndarray] = None        # (K,) int32 into S*Kmax
+    # transposed local matrices (cps + S*H + K, rps), binned+stacked: the
     # backward of the local SpMM (dXcat = A_local^T @ dY) for the Pallas
     # impl's custom_vjp — the distributed face of the reference's
     # gather<->segment-sum autograd pairing (gradient_funcs/gather.cpp).
@@ -92,20 +101,23 @@ class RowPartitionPlan:
 
     def tree_flatten(self):
         children = (self.buckets, self.send_idx, self.interior_buckets,
-                    self.boundary_buckets, self.transpose_buckets)
+                    self.boundary_buckets, self.hub_local_idx,
+                    self.hub_perm, self.transpose_buckets)
         aux = (self.shape, self.n_shards, self.rows_per_shard,
                self.cols_per_shard, self.halo_size)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        buckets, send_idx, interior, boundary, transpose = children
+        (buckets, send_idx, interior, boundary, hub_idx, hub_perm,
+         transpose) = children
         shape, s, rps, cps, h = aux
         return cls(buckets=tuple(buckets), send_idx=send_idx, shape=shape,
                    n_shards=s, rows_per_shard=rps, cols_per_shard=cps,
                    halo_size=h,
                    interior_buckets=None if interior is None else tuple(interior),
                    boundary_buckets=None if boundary is None else tuple(boundary),
+                   hub_local_idx=hub_idx, hub_perm=hub_perm,
                    transpose_buckets=None if transpose is None else tuple(transpose))
 
     @property
@@ -113,9 +125,26 @@ class RowPartitionPlan:
         return self.interior_buckets is not None
 
     @property
+    def n_hubs(self) -> int:
+        return 0 if self.hub_perm is None else int(self.hub_perm.shape[0])
+
+    @property
     def halo_fraction(self) -> float:
         """Exchanged rows / owned rows — comms pressure indicator."""
         return self.n_shards * self.halo_size / max(1, self.cols_per_shard)
+
+    def comm_stats(self, d: int = 128, bytes_per: int = 4) -> dict:
+        """Per-shard exchanged bytes: padded halo + hub broadcast vs the
+        all_gather baseline (BASELINE.md halo-vs-allgather accounting)."""
+        S = self.n_shards
+        halo = S * self.halo_size * d * bytes_per
+        kmax = 0 if self.hub_local_idx is None else int(
+            self.hub_local_idx.shape[1])
+        hub = S * kmax * d * bytes_per
+        allg = S * self.cols_per_shard * d * bytes_per
+        return {"halo_bytes": halo, "hub_bytes": hub,
+                "all_gather_bytes": allg,
+                "saving": 1.0 - (halo + hub) / max(allg, 1)}
 
 
 def partition_rows(
@@ -124,12 +153,18 @@ def partition_rows(
     ladder="auto",
     split_boundary: bool = False,
     with_transpose: bool = True,
+    replicate_hubs: int = 0,
 ) -> RowPartitionPlan:
     """Build the plan (host-side, once per graph x shard count).
 
     With ladder="auto" one global width ladder is chosen from the full
     graph's degree histogram so every shard bins with the same widths
     (SPMD requires identical bucket shapes across shards).
+
+    ``replicate_hubs=K``: the K highest in-degree columns are broadcast
+    once per call instead of riding the pairwise halo — bounds the padded
+    H on power-law graphs (the reference's id-shuffle dedups hot keys in
+    its GPU hash table for the same reason, data_shuffle_kernel.cu:41-130).
     """
     from of_spmm_tpu.sparse.binned import optimal_ladder
 
@@ -146,6 +181,28 @@ def partition_rows(
     cols = np.asarray(csr.cols).astype(np.int64)
     vals = np.asarray(csr.vals)
 
+    # --- hub selection ----------------------------------------------------
+    K = min(replicate_hubs, m)
+    hub_rank = np.full(m, -1, dtype=np.int64)
+    hub_ids = np.zeros(0, np.int64)
+    hub_local_idx = None
+    hub_perm = None
+    if K:
+        indeg = np.bincount(cols, minlength=m)
+        hub_ids = np.argsort(-indeg, kind="stable")[:K]
+        hub_rank[hub_ids] = np.arange(K, dtype=np.int64)
+        owner_h = hub_ids // cps
+        kmax = max(int(np.bincount(owner_h, minlength=S).max()), 1)
+        hub_local_idx = np.zeros((S, kmax), np.int32)
+        hub_perm = np.zeros(K, np.int32)
+        slot_of = np.zeros(S, np.int64)
+        for r, c in enumerate(hub_ids):
+            p = int(owner_h[r])
+            k = int(slot_of[p])
+            hub_local_idx[p, k] = c - p * cps
+            hub_perm[r] = p * kmax + k
+            slot_of[p] += 1
+
     # --- per-shard halo needs -------------------------------------------
     # need[p][q]: sorted unique global cols owned by q (!=p) referenced by A_p
     need = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
@@ -156,6 +213,8 @@ def partition_rows(
         shard_slices.append((r0, r1, lo, hi))
         c = cols[lo:hi]
         uniq = np.unique(c)
+        if K:
+            uniq = uniq[hub_rank[uniq] < 0]  # hubs ride the broadcast
         owner = uniq // cps
         for q in range(S):
             if q == p:
@@ -187,12 +246,15 @@ def partition_rows(
         # in need[p][q] -> cps + q*H + j
         owner = c // cps
         remapped = np.empty_like(c)
-        own = owner == p
+        is_hub = hub_rank[c] >= 0 if K else np.zeros(c.shape[0], bool)
+        own = np.logical_and(owner == p, ~is_hub)
         remapped[own] = c[own] - p * cps
+        if K:
+            remapped[is_hub] = cps + S * H + hub_rank[c[is_hub]]
         for q in range(S):
             if q == p:
                 continue
-            sel = owner == q
+            sel = np.logical_and(owner == q, ~is_hub)
             if not sel.any():
                 continue
             pos = np.searchsorted(need[p][q], c[sel])
@@ -209,14 +271,14 @@ def partition_rows(
                 np.arange(rps, dtype=np.int64), np.diff(local_indptr))
             order = np.argsort(remapped, kind="stable")
             t_cols = remapped[order]
-            t_counts = np.bincount(t_cols, minlength=cps + S * H)
-            t_indptr = np.zeros(cps + S * H + 1, np.int64)
+            t_counts = np.bincount(t_cols, minlength=cps + S * H + K)
+            t_indptr = np.zeros(cps + S * H + K + 1, np.int64)
             np.cumsum(t_counts, out=t_indptr[1:])
             t_csr = CSR.from_arrays(
                 t_indptr.astype(np.int64),
                 local_rows[order].astype(np.int32),
                 v[order],
-                (cps + S * H, rps),
+                (cps + S * H + K, rps),
             )
             per_shard_t_binned.append(bin_rows(t_csr, ladder=ladder))
         if split_boundary:
@@ -236,7 +298,7 @@ def partition_rows(
                     ip.astype(np.int32),
                     remapped[keep_nnz].astype(np.int32),
                     v[keep_nnz],
-                    (rps, cps + S * H),
+                    (rps, cps + S * H + K),
                 )
 
             per_shard_binned.append(
@@ -248,7 +310,7 @@ def partition_rows(
                 local_indptr.astype(np.int32),
                 remapped.astype(np.int32),
                 v,
-                (rps, cps + S * H),
+                (rps, cps + S * H + K),
             )
             per_shard_binned.append(bin_rows(local_csr, ladder=ladder))
 
@@ -268,6 +330,8 @@ def partition_rows(
             halo_size=H,
             interior_buckets=interior,
             boundary_buckets=boundary,
+            hub_local_idx=None if not K else jnp.asarray(hub_local_idx),
+            hub_perm=None if not K else jnp.asarray(hub_perm),
             transpose_buckets=t_buckets,
         )
     buckets = _stack_binned(per_shard_binned, ladder)
@@ -279,6 +343,8 @@ def partition_rows(
         rows_per_shard=rps,
         cols_per_shard=cps,
         halo_size=H,
+        hub_local_idx=None if not K else jnp.asarray(hub_local_idx),
+        hub_perm=None if not K else jnp.asarray(hub_perm),
         transpose_buckets=t_buckets,
     )
 

@@ -55,15 +55,16 @@ DMAX_CAP = 640               # max staging DMAs per step (static unroll bound)
 class FusedSegment:
     """One pallas_call worth of steps (contiguous tiles)."""
 
-    ctrl: jnp.ndarray     # (steps, 1, 8) int32 per-step control words:
+    ctrl: jnp.ndarray     # (steps, 1, 16) int32 per-step control words:
     #  [0] compute tile id (block index into this segment's output; -1 none)
     #  [1] first-step-of-tile flag (zero output + split staged hi/lo)
-    #  [2] staging chunk base row (within the staging buffer)
+    #  [2] staging dst base row = parity*S_buf + chunk base (2-D stage)
     #  [3] staging count (rows to DMA this step; 0 = none)
-    #  [4] staging buffer parity to write
-    #  [5] compute buffer parity to read
+    #  [4] (spare)
+    #  [5] split source base row = read-parity*S_buf
     #  [6] prev-step staging count (rows to wait)
-    #  [7] prev-step chunk base
+    #  [7] prev-step dst base row
+    #  [8] staged rows of the tile being computed (split extent)
     scols: jnp.ndarray    # (steps, 8, DMAX/8) int32 X rows to stage
     lidx: jnp.ndarray     # (steps*G, 128) int32 window-local gather idx
     lrow: jnp.ndarray     # (steps*G, 128) int32 tile-local output row (R=pad)
@@ -305,7 +306,8 @@ def build_fused_plan(
             tiles_meta[t] = (uniq, li, lr, lv, bo)
             n_lanes += pad_g * _L
     S_buf = max(max(tm[0].shape[0] for tm in tiles_meta), _L)
-    S_buf += -S_buf % _L
+    S_buf += -S_buf % 2048 if S_buf > 2048 else -S_buf % _L
+    # (2048 = the kernel's hi/lo split chunk; keep chunks in bounds)
     # DMAX: tile t+1's staged rows spread over tile t's steps (tile 0 over
     # a prologue sized like its own step count)
     DMAX = dma_wave
@@ -345,14 +347,14 @@ def build_fused_plan(
 
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
-                  rank1):
+                  rank1):  # noqa: C901
     """Lay out one segment's step stream: a prologue staging the first
     tile, then per tile: compute steps that also stage the NEXT tile."""
     first = seg_tiles[0]
     prologue = steps_of[first]
     n_steps = prologue + sum(steps_of[t] for t in seg_tiles)
 
-    ctrl = np.zeros((n_steps, 1, 8), np.int32)
+    ctrl = np.zeros((n_steps, 1, 16), np.int32)
     scols = np.zeros((n_steps, DMAX), np.int32)
     lidx = np.zeros((n_steps * G, _L), np.int32)
     lrow = np.full((n_steps * G, _L), R, np.int32)
@@ -377,9 +379,8 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
                 scols[s, :cnt] = stage_cols[pos:pos + cnt]
                 if pad:
                     scols[s, cnt:cnt + pad] = stage_cols[pos:pos + pad]
-            ctrl[s, 0, 2] = pos
+            ctrl[s, 0, 2] = parity * S_buf + pos
             ctrl[s, 0, 3] = cnt + pad
-            ctrl[s, 0, 4] = parity
             pos += cnt
 
     # prologue: stage first tile into parity 0; no compute
@@ -392,7 +393,8 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
         uniq, li, lr, lv, bo = tiles_meta[t]
         ctrl[step:step + ns, 0, 0] = j
         ctrl[step, 0, 1] = 1  # first step: zero output + split staged
-        ctrl[step:step + ns, 0, 5] = j % 2
+        ctrl[step, 0, 8] = uniq.shape[0]
+        ctrl[step:step + ns, 0, 5] = (j % 2) * S_buf
         tile_of[step:step + ns] = j
         lidx[step * G:(step + ns) * G] = li
         lrow[step * G:(step + ns) * G] = lr

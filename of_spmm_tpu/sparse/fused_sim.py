@@ -42,15 +42,16 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
         lidx = np.asarray(seg.lidx)
         lrow = np.asarray(seg.lrow)
         blk = np.asarray(seg.blk)
-        stage = np.zeros((2, plan.S_buf, d), np.float32)
+        stage = np.zeros((2 * plan.S_buf, d), np.float32)
         hilo = np.zeros((plan.S_buf, 2 * d), np.float32)
         out = np.zeros((seg.n_tiles * R, d), np.float32)
         for i in range(seg.n_steps):
-            tile, first, base, cnt, par_w, par_r = ctrl[i, 0, :6]
+            tile, first, base, cnt, _, split_base = ctrl[i, 0, :6]
             if cnt:
-                stage[par_w, base:base + cnt] = xs[scols[i, :cnt]]
+                stage[base:base + cnt] = xs[scols[i, :cnt]]
             if tile >= 0 and first:
-                hilo[:] = _hilo(stage[par_r])
+                hilo[:] = _hilo(
+                    stage[split_base:split_base + plan.S_buf])
             if tile >= 0:
                 for g in range(G):
                     b = blk[i, 0, g]

@@ -127,3 +127,33 @@ def test_dist_spmm_split_boundary_matches(mesh8):
     g1 = jax.grad(lambda xx: jnp.sum(dist_spmm(plan_split, xx, mesh8) ** 2))(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("impl", ["xla", "pallas"])
+def test_dist_spmm_hub_replication(impl):
+    """Degree-aware partition: hub columns broadcast instead of riding the
+    pairwise halo; halo H shrinks and results stay exact (VERDICT r1
+    item 5)."""
+    n, d, S = 512, 4, 4
+    rng = np.random.default_rng(11)
+    dense = (rng.random((n, n)) < 0.004).astype(np.float32)
+    hub_cols = np.arange(0, n, n // 24)[:24]  # spread across shards
+    dense[:, hub_cols] = (rng.random((n, 24)) < 0.5).astype(np.float32)
+    dense *= rng.random((n, n)).astype(np.float32)
+    csr = CSR.from_dense(dense)
+    plain = partition_rows(csr, S)
+    hubby = partition_rows(csr, S, replicate_hubs=24)
+    assert hubby.halo_size < plain.halo_size
+    stats_p, stats_h = plain.comm_stats(), hubby.comm_stats()
+    assert (stats_h["halo_bytes"] + stats_h["hub_bytes"]
+            < stats_p["halo_bytes"])
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    w = rng.standard_normal((n, d)).astype(np.float32)
+    with _mesh(S) as mesh:
+        y = dist_spmm(hubby, x, mesh, impl=impl)
+        g = jax.grad(lambda xx: jnp.sum(
+            dist_spmm(hubby, xx, mesh, impl=impl) * w))(x)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x),
+                               rtol=RTOL, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), dense.T @ w,
+                               rtol=RTOL, atol=1e-3)

@@ -40,7 +40,7 @@ def main():
 
     t0 = time.time()
     plan = cached(
-        "fusedplan", f"{graph}|sym|gcn-norm|R{R}|T{T}|hot{hot}|v3",
+        "fusedplan", f"{graph}|sym|gcn-norm|R{R}|T{T}|hot{hot}|v5",
         lambda: build_fused_plan(csr, R=R, T=T, hot_budget=hot))
     build_s = time.time() - t0
     t0 = time.time()
