@@ -128,13 +128,17 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
 def bench_spgemm(name: str, iters: int = 3):
     """SpGEMM A@A 2-hop expansion (BASELINE config 4: functional + measured).
 
-    Host-side plan-time op (native Gustavson SPA when the toolchain is
-    present); reports GFLOP/s over 2 * expansion-product count."""
+    Two numbers: the host Gustavson plan-time op (native SPA when the
+    toolchain is present) and the DEVICE numeric phase (symbolic pattern
+    fixed host-side once, multiply-accumulate on the TPU — VERDICT r1
+    item 4)."""
+    import jax
     import numpy as np
 
-    from of_spmm_tpu.data.graphs import load_graph
-    from of_spmm_tpu.ops.reference import spgemm
     from of_spmm_tpu import native
+    from of_spmm_tpu.data.graphs import load_graph
+    from of_spmm_tpu.ops.autograd import spgemm_numeric, spgemm_symbolic
+    from of_spmm_tpu.ops.reference import spgemm
 
     csr, cfg = load_graph(name, symmetrize=True)
     indptr = np.asarray(csr.indptr).astype(np.int64)
@@ -150,10 +154,135 @@ def bench_spgemm(name: str, iters: int = 3):
         out_nnz = c.nnz
     sec = sorted(times)[len(times) // 2]
     gflops = 2 * products / sec / 1e9
-    log(f"[spgemm {name}] native={native.available()} {sec*1e3:.0f} ms  "
+    log(f"[spgemm {name}] host native={native.available()} {sec*1e3:.0f} ms  "
         f"{gflops:.2f} GFLOP/s  in_nnz={csr.nnz:,} out_nnz={out_nnz:,} "
         f"products={products:,}")
-    return {"seconds": sec, "gflops": gflops, "out_nnz": out_nnz}
+
+    # device numeric phase
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    plan = spgemm_symbolic(csr, csr)
+    sym_s = time.time() - t0
+    av = jax.device_put(jnp.asarray(np.asarray(csr.vals), jnp.float32))
+    ap_ = jax.device_put(plan.a_pos)
+    bp_ = jax.device_put(plan.b_pos)
+    op_ = jax.device_put(plan.out_slot)
+    vals = spgemm_numeric(ap_, bp_, op_, av, av, out_nnz=plan.out_nnz)
+    vals.block_until_ready()
+    dts = []
+    for _ in range(max(iters, 3)):
+        t0 = time.perf_counter()
+        spgemm_numeric(ap_, bp_, op_, av, av + 0.0,
+                       out_nnz=plan.out_nnz).block_until_ready()
+        dts.append(time.perf_counter() - t0)
+    dev_s = sorted(dts)[len(dts) // 2]
+    dev_gflops = 2 * products / dev_s / 1e9
+    log(f"[spgemm {name}] device numeric {dev_s*1e3:.1f} ms  "
+        f"{dev_gflops:.2f} GFLOP/s  (symbolic {sym_s:.1f}s host)")
+    return {"seconds": sec, "gflops": gflops, "out_nnz": out_nnz,
+            "device_seconds": dev_s, "device_gflops": dev_gflops}
+
+
+def bench_spmv(name: str, iters: int = 8):
+    """CSR SpMV (BASELINE config 1): parity vs the reference gather/
+    segment-sum semantics + measured ms."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from of_spmm_tpu.data.graphs import load_graph
+    from of_spmm_tpu.models.gcn import normalized_adjacency
+    from of_spmm_tpu.ops.autograd import make_operator, spmv
+
+    csr, cfg = load_graph(name, symmetrize=True)
+    csr = normalized_adjacency(csr)
+    op = make_operator(csr, place=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(csr.shape[1]).astype(np.float32))
+    f = jax.jit(lambda o, v: spmv(o, v))
+    y = f(op, x)
+    y.block_until_ready()
+    # parity vs numpy CSR
+    indptr = np.asarray(csr.indptr).astype(np.int64)
+    want = np.zeros(csr.shape[0], np.float32)
+    xv = np.asarray(x)
+    contrib = np.asarray(csr.vals) * xv[np.asarray(csr.cols)]
+    np.add.at(want, np.repeat(np.arange(csr.shape[0]), np.diff(indptr)),
+              contrib)
+    rel = float(np.abs(np.asarray(y) - want).max()
+                / (np.abs(want).max() + 1e-12))
+    ts = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        f(op, x + 0.0).block_until_ready()
+        ts.append(time.perf_counter() - t0)
+    sec = sorted(ts)[len(ts) // 2]
+    log(f"[spmv {name}] {sec*1e3:.3f} ms  parity rel={rel:.2e}")
+    return {"ms": sec * 1e3, "parity_rel": rel}
+
+
+def bench_all(args):
+    """BASELINE.md measurement matrix in one run (VERDICT r1 item 3):
+    Cora/Citeseer SpMV+SpMM parity+ms, Reddit row-binned load-balance
+    efficiency, ogbn-arxiv SpGEMM (host + device numeric), plus the
+    ogbn-products headline roofline."""
+    extras = {}
+    for g in ("cora", "citeseer"):
+        extras[f"spmv_{g}"] = bench_spmv(g, iters=args.iters)
+        r = bench_graph(g, d=args.d, iters=args.iters, impls=("xla",))
+        if "xla" in r:
+            extras[f"spmm_{g}"] = {
+                "ms": r["xla"]["seconds"] * 1e3,
+                "roofline": r["xla"]["roofline_fraction"]}
+
+    # Reddit row-binned load balance: efficiency = nnz / padded lane slots
+    # (ideal-nnz-time / achieved under the ELL padding model) + measured ms
+    import jax.numpy as jnp
+    import numpy as np
+
+    from of_spmm_tpu.data.graphs import load_graph
+    from of_spmm_tpu.models.gcn import normalized_adjacency
+    from of_spmm_tpu.ops.autograd import make_operator, place_operator, spmm_internal
+    from of_spmm_tpu.utils.roofline import SpmmTraffic, spmm_report, time_chained
+    import jax
+
+    rname = args.reddit
+    csr, cfg = load_graph(rname, symmetrize=True)
+    csr = normalized_adjacency(csr)
+    op = make_operator(csr, place=False, layout="binned")
+    eff = op.binned.padding_efficiency(csr.nnz)
+    op = place_operator(op)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((csr.shape[1], args.d))
+                    .astype(np.float32))
+
+    def mk(k):
+        def f(o, xx):
+            def body(i, carry):
+                s, a = carry
+                y = spmm_internal(o, a, impl="xla")
+                return (s + y.ravel()[0] * 1e-30, y)
+            return jax.lax.fori_loop(0, k, body, (0.0, xx))[1]
+        return jax.jit(f)
+
+    traffic = SpmmTraffic(nnz=csr.nnz, n_rows=csr.shape[0],
+                          n_cols=csr.shape[1], d=args.d)
+    secs = time_chained(mk, op, x, k1=1, iters=args.iters,
+                        est_iter_s=traffic.speed_of_light_s())
+    rep = spmm_report(secs, traffic)
+    log(f"[{rname}] row-binned: {secs*1e3:.3f} ms  load_balance_eff={eff:.3f}"
+        f"  roofline={rep['roofline_fraction']:.3f}")
+    extras[f"spmm_rowbinned_{rname}"] = {
+        "ms": secs * 1e3, "load_balance_eff": eff,
+        "roofline": rep["roofline_fraction"]}
+
+    sp = bench_spgemm("ogbn-arxiv", iters=max(args.iters // 2, 1))
+    extras["spgemm_ogbn-arxiv"] = {
+        "host_ms": sp["seconds"] * 1e3, "host_gflops": sp["gflops"],
+        "device_ms": sp["device_seconds"] * 1e3,
+        "device_gflops": sp["device_gflops"]}
+    return extras
 
 
 def main():
@@ -176,8 +305,15 @@ def main():
     ap.add_argument("--op", default="spmm", choices=("spmm", "spgemm"),
                     help="which benchmark to run")
     ap.add_argument("--sweep", action="store_true", help="also run the small graphs")
+    ap.add_argument("--all", action="store_true",
+                    help="BASELINE.md measurement matrix + headline")
+    ap.add_argument("--reddit", default="reddit-small",
+                    help="reddit config for the load-balance row "
+                         "(reddit = full 114M nnz)")
     args = ap.parse_args()
     impls = tuple(args.impls.split(","))
+
+    extras = bench_all(args) if getattr(args, "all", False) else None
 
     if args.op == "spgemm":
         g = args.graph if args.graph != "ogbn-products" else "ogbn-arxiv"
@@ -220,16 +356,17 @@ def main():
     log(f"best impl: {best_name}")
     # vs_baseline: ratio against the BASELINE.md target of 60% of the
     # per-chip HBM roofline (>=1.0 means target met).
-    print(
-        json.dumps(
-            {
-                "metric": f"spmm_roofline_fraction_{args.graph}_d{args.d}",
-                "value": round(best["roofline_fraction"], 4),
-                "unit": "fraction_of_hbm_roofline",
-                "vs_baseline": round(best["roofline_fraction"] / 0.60, 4),
-            }
-        )
-    )
+    out = {
+        "metric": f"spmm_roofline_fraction_{args.graph}_d{args.d}",
+        "value": round(best["roofline_fraction"], 4),
+        "unit": "fraction_of_hbm_roofline",
+        "vs_baseline": round(best["roofline_fraction"] / 0.60, 4),
+        "synthetic_graphs": True,  # degree-law-matched stand-ins (no
+        # network egress in this environment; see data/graphs.py)
+    }
+    if extras is not None:
+        out["matrix"] = extras
+    print(json.dumps(out))
     return 0
 
 

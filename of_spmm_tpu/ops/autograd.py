@@ -220,14 +220,31 @@ def make_operator(
     def _place(op):
         return place_operator(op) if place else op
 
-    if layout not in ("auto", "binned", "tiered", "expansion"):
+    if layout not in ("auto", "binned", "tiered", "expansion", "fused"):
         raise ValueError(
-            f"layout must be auto|binned|tiered|expansion, got {layout!r}")
+            "layout must be auto|binned|tiered|expansion|fused, "
+            f"got {layout!r}")
     from of_spmm_tpu.sparse.tiled import DEFAULT_TIER_SIZE, bin_rows_tiered
 
     ts = tier_size or DEFAULT_TIER_SIZE
     if layout == "auto":
         layout = "tiered" if csr.shape[1] > ts else "binned"
+    if layout == "fused":
+        from of_spmm_tpu.sparse.fused import build_fused_plan
+
+        plan = build_fused_plan(csr)
+        if csr.shape[0] == csr.shape[1] and _is_symmetric(csr):
+            plan_t = plan
+        else:
+            plan_t = build_fused_plan(csr.transpose())
+        return _place(SpmmOperator(
+            binned=plan,
+            binned_t=plan_t,
+            coo_rows=coo.rows,
+            coo_cols=coo.cols,
+            coo_vals=coo.vals,
+            shape=csr.shape,
+        ))
     if layout == "expansion":
         from of_spmm_tpu.sparse.expansion import build_expansion_plan
 
@@ -343,8 +360,14 @@ def _pallas_cold_bucket(bucket, x_full: jnp.ndarray) -> jnp.ndarray:
 
 def _spmm_impl(binned, x: jnp.ndarray, impl: str) -> jnp.ndarray:
     from of_spmm_tpu.sparse.expansion import ExpansionPlan
+    from of_spmm_tpu.sparse.fused import FusedPlan
     from of_spmm_tpu.sparse.tiled import TieredEll
 
+    if isinstance(binned, FusedPlan):
+        # fused staging+compute engine — the layout IS the implementation
+        from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+        return spmm_fused(binned, x)
     if isinstance(binned, ExpansionPlan):
         # MXU one-hot engine — the layout IS the implementation (built for
         # the Pallas kernel; no XLA variant of this layout exists).

@@ -160,3 +160,25 @@ def test_spgemm_device_empty():
     b = CSR.from_dense(np.zeros((5, 6), np.float32))
     c, plan = spgemm_device(a, b)
     assert c.nnz == 0 and plan.out_nnz == 0
+
+
+def test_fused_operator_spmm_and_grad():
+    """layout=\"fused\" through the operator API: forward + transpose-plan
+    backward via the existing custom_vjp pairing."""
+    import jax
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.autograd import make_operator, spmm
+
+    dense, csr = _graph(600, 600, 0.02, rank1=True, seed=21)
+    op = make_operator(csr, layout="fused", place=False)
+    x = np.random.default_rng(7).standard_normal((600, 16)).astype(
+        np.float32)
+    w = np.random.default_rng(8).standard_normal((600, 16)).astype(
+        np.float32)
+    y = spmm(op, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=ATOL * np.abs(dense @ x).max() + ATOL)
+    g = jax.grad(lambda xx: jnp.sum(spmm(op, xx) * w))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
+                               atol=ATOL * np.abs(dense.T @ w).max() + ATOL)

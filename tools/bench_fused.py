@@ -16,11 +16,33 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _ablate(plan, mode):
+    """Plan surgery for cost attribution: zero the staging counts
+    ("nodma") or mark every step non-compute ("nocompute")."""
+    import dataclasses as dc
+
+    import numpy as np
+
+    segs = []
+    for seg in plan.segments:
+        ctrl = np.array(seg.ctrl)
+        if mode == "nodma":
+            ctrl[:, 0, 3] = 0
+            ctrl[:, 0, 6] = 0
+        elif mode == "nocompute":
+            ctrl[:, 0, 0] = -1
+            ctrl[:, 0, 1] = 0
+        segs.append(dc.replace(seg, ctrl=ctrl))
+    return dc.replace(plan, segments=tuple(segs))
+
+
 def main():
     graph = sys.argv[1] if len(sys.argv) > 1 else "ogbn-arxiv"
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     T = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
     hot = int(sys.argv[4]) if len(sys.argv) > 4 else 16384
+    ablate = "--ablate" in sys.argv
+    parity = "--parity" in sys.argv
 
     import jax
     import jax.numpy as jnp
@@ -65,16 +87,23 @@ def main():
     print(f"[{graph}] first call (compile): {time.time()-t0:.1f}s",
           flush=True)
 
-    # correctness vs XLA segment-sum oracle on a row sample
-    from of_spmm_tpu.ops.reference import spmm as spmm_ref
+    if parity:
+        # correctness vs the numpy CSR oracle (the XLA oracle on a
+        # tunneled chip pays the slow-gather path — minutes)
+        t0 = time.time()
+        import numpy as _np
 
-    t0 = time.time()
-    want = np.asarray(spmm_ref(csr, x))
-    got = np.asarray(y)[:n]
-    denom = np.abs(want).max() + 1e-9
-    rel = np.abs(got - want).max() / denom
-    print(f"[{graph}] parity vs oracle: rel={rel:.2e} "
-          f"({time.time()-t0:.1f}s)", flush=True)
+        indptr = _np.asarray(csr.indptr).astype(_np.int64)
+        rows = _np.repeat(_np.arange(n), _np.diff(indptr))
+        want = _np.zeros((n, 128), _np.float32)
+        contrib = _np.asarray(csr.vals)[:, None] * _np.asarray(x)[
+            _np.asarray(csr.cols)]
+        _np.add.at(want, rows, contrib)
+        got = np.asarray(y)[:n]
+        denom = np.abs(want).max() + 1e-9
+        rel = np.abs(got - want).max() / denom
+        print(f"[{graph}] parity vs oracle: rel={rel:.2e} "
+              f"({time.time()-t0:.1f}s)", flush=True)
 
     # delta timing: k chained applications inside one jit (defeats the
     # remote backend's per-call overheads and any dispatch memoization)
@@ -85,23 +114,32 @@ def main():
             return jax.lax.fori_loop(0, k, body, xx)
         return jax.jit(f, static_argnums=())
 
-    f1, f3 = mk(1), mk(3)
-    f1(plan, x).block_until_ready()
-    f3(plan, x).block_until_ready()
-    t1 = []
-    t3 = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        f1(plan, x).block_until_ready()
-        t1.append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        f3(plan, x).block_until_ready()
-        t3.append(time.perf_counter() - t0)
-    sec = (sorted(t3)[2] - sorted(t1)[2]) / 2
-    traffic = SpmmTraffic(nnz=csr.nnz, n_rows=n, n_cols=m, d=128)
-    sol = traffic.speed_of_light_s()
-    print(f"[{graph}] fused: {sec*1e3:.3f} ms/spmm  roofline="
-          f"{sol/sec:.3f}  (SoL {sol*1e3:.3f} ms)", flush=True)
+    def timeit(p, label):
+        f1, f3 = mk(1), mk(3)
+        f1(p, x).block_until_ready()
+        f3(p, x).block_until_ready()
+        t1, t3 = [], []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            f1(p, x).block_until_ready()
+            t1.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            f3(p, x).block_until_ready()
+            t3.append(time.perf_counter() - t0)
+        sec = (sorted(t3)[2] - sorted(t1)[2]) / 2
+        traffic = SpmmTraffic(nnz=csr.nnz, n_rows=n, n_cols=m, d=128)
+        sol = traffic.speed_of_light_s()
+        print(f"[{graph}] {label}: {sec*1e3:.3f} ms/spmm  "
+              f"({sec/n_steps*1e6:.2f} us/step)  roofline={sol/sec:.3f}  "
+              f"(SoL {sol*1e3:.3f} ms)", flush=True)
+        return sec
+
+    timeit(plan, f"fused R={R} T={T} hot={plan.n_hot}")
+    if ablate:
+        from of_spmm_tpu.sparse.fused import place_plan as _pp
+
+        timeit(_pp(_ablate(plan, "nodma")), "ablate-nodma (compute only)")
+        timeit(_pp(_ablate(plan, "nocompute")), "ablate-nocompute (dma only)")
 
 
 if __name__ == "__main__":

@@ -42,6 +42,10 @@ def main():
     ap.add_argument("--deg", type=int, default=16)
     ap.add_argument("--d", type=int, default=128)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--hubs", type=int, default=0,
+                    help="replicate top-K in-degree columns (degree-aware)")
+    ap.add_argument("--json-out", default="",
+                    help="write the full per-shard table to this file")
     args = ap.parse_args()
 
     import jax
@@ -65,6 +69,7 @@ def main():
     max_shards = len(devs)
     shard_counts = [s for s in (1, 2, 4, 8, 16, 32) if s <= max_shards]
     results = {}
+    table = []
 
     for S in shard_counts:
         n = args.rows_per_shard * S
@@ -72,7 +77,7 @@ def main():
                           n_classes=2)
         src, dst = synthetic_edges(cfg, seed=0)
         csr = normalized_adjacency(CSR.from_coo(COO.from_edges(src, dst, n)))
-        plan = partition_rows(csr, S)
+        plan = partition_rows(csr, S, replicate_hubs=args.hubs)
         mesh = Mesh(np.asarray(devs[:S]), ("x",))
         x = jnp.asarray(
             np.random.default_rng(0).standard_normal((n, args.d)) \
@@ -85,11 +90,27 @@ def main():
         nnz_s = csr.nnz / sec
         results[S] = nnz_s
         eff = nnz_s / (S * results[1]) if 1 in results else 1.0
+        stats = plan.comm_stats(d=args.d)
         log(f"shards={S:>2} rows={n:>9,} nnz={csr.nnz:>11,} "
-            f"{sec*1e3:8.2f} ms  {nnz_s/1e6:8.1f} Mnnz/s  weak-eff={eff:.3f}")
+            f"{sec*1e3:8.2f} ms  {nnz_s/1e6:8.1f} Mnnz/s  weak-eff={eff:.3f} "
+            f"halo={stats['halo_bytes']/1e6:.1f}MB "
+            f"hub={stats['hub_bytes']/1e6:.1f}MB "
+            f"allgather={stats['all_gather_bytes']/1e6:.1f}MB "
+            f"saving={stats['saving']:.3f}")
+        table.append({"shards": S, "rows": n, "nnz": int(csr.nnz),
+                      "ms": sec * 1e3, "mnnz_s": nnz_s / 1e6,
+                      "weak_eff": eff, **stats,
+                      "halo_H": int(plan.halo_size),
+                      "hubs": int(plan.n_hubs)})
 
     S_max = shard_counts[-1]
     eff = results[S_max] / (S_max * results[1])
+    if args.json_out:
+        with open(args.json_out, "w") as f:
+            json.dump({"mode": "cpu_proxy" if args.cpu else "device",
+                       "d": args.d, "deg": args.deg, "hubs": args.hubs,
+                       "rows_per_shard": args.rows_per_shard,
+                       "table": table}, f, indent=1)
     print(json.dumps({
         "metric": f"weak_scaling_eff_{S_max}shards"
                   + ("_cpu_proxy" if args.cpu else ""),
