@@ -244,26 +244,50 @@ def build_fused_plan(
     n_hot_blocks = H // _L
 
     # --- per tile: cold staging list + lane groups -----------------------
+    # per-tile column sort + unique runs in the native planner when
+    # available (csrc/planner.cpp expansion_pass1, OpenMP over tiles);
+    # numpy per-tile fallback otherwise.
+    from of_spmm_tpu import native
+
+    nat = native.expansion_pass1(indptr, cols_all,
+                                 vals_all.astype(np.float32), R)
     tiles_meta = []   # (stage_cols, lidx, lrow, val, blk_of, n_groups)
     n_staged = 0
     n_lanes = 0
+    starts = indptr[np.minimum(np.arange(n_tiles + 1) * R, n)]
     for t in range(n_tiles):
         r0, r1 = t * R, min((t + 1) * R, n)
-        lo, hi = indptr[r0], indptr[r1]
-        c = cols_all[lo:hi]
-        v = None if use_rank1 else vals_all[lo:hi]
-        r = np.repeat(np.arange(r1 - r0, dtype=np.int64),
-                      np.diff(indptr[r0:r1 + 1]))
-        hr = hot_rank[c]
-        is_hot = hr >= 0
-        # window position: hot lanes index the hot table head; cold lanes
-        # index [H + staged_pos] within the unified window space
-        c_cold = c[~is_hot]
-        uniq, inv = np.unique(c_cold, return_inverse=True)
-        win_pos = np.empty(c.shape[0], dtype=np.int64)
-        win_pos[is_hot] = hr[is_hot]
-        win_pos[~is_hot] = H + inv
-        order = np.argsort(win_pos, kind="stable")
+        if nat is not None:
+            lane_inv, lane_row, lane_val, uniq_all, uniq_ptr = nat
+            lo, hi = starts[t], starts[t + 1]
+            uniq_t = uniq_all[uniq_ptr[t]:uniq_ptr[t + 1]].astype(np.int64)
+            inv_t = lane_inv[lo:hi].astype(np.int64)
+            r = lane_row[lo:hi].astype(np.int64)
+            v = None if use_rank1 else lane_val[lo:hi]
+            hr_u = hot_rank[uniq_t]
+            cold_mask = hr_u < 0
+            uniq = uniq_t[cold_mask]
+            # window position per unique entry: hot rank or H + cold pos
+            cold_pos = np.cumsum(cold_mask) - 1
+            upos = np.where(cold_mask, H + cold_pos, hr_u)
+            win_pos = upos[inv_t]
+            order = np.argsort(win_pos, kind="stable")
+        else:
+            lo, hi = indptr[r0], indptr[r1]
+            c = cols_all[lo:hi]
+            v = None if use_rank1 else vals_all[lo:hi]
+            r = np.repeat(np.arange(r1 - r0, dtype=np.int64),
+                          np.diff(indptr[r0:r1 + 1]))
+            hr = hot_rank[c]
+            is_hot = hr >= 0
+            # window position: hot lanes index the hot table head; cold
+            # lanes index [H + staged_pos] in the unified window space
+            c_cold = c[~is_hot]
+            uniq, inv = np.unique(c_cold, return_inverse=True)
+            win_pos = np.empty(c.shape[0], dtype=np.int64)
+            win_pos[is_hot] = hr[is_hot]
+            win_pos[~is_hot] = H + inv
+            order = np.argsort(win_pos, kind="stable")
         li, lr, lv, bo = _lane_groups(
             win_pos[order], r[order], None if use_rank1 else v[order], R)
         n_grp = li.shape[0]

@@ -115,18 +115,28 @@ def main():
         return jax.jit(f, static_argnums=())
 
     def timeit(p, label):
-        f1, f3 = mk(1), mk(3)
-        f1(p, x).block_until_ready()
-        f3(p, x).block_until_ready()
+        # delta timing with SCALAR-FETCH sync: on the tunneled chip
+        # block_until_ready returns before execution finishes (see
+        # utils/roofline._force) — only a host read forces completion.
+        def mk2(k):
+            @jax.jit
+            def f(pp, xx):
+                def body(i, carry):
+                    return _spmm_fused_jit(pp, carry, False)
+                return jnp.abs(jax.lax.fori_loop(0, k, body, xx)).sum()
+            return f
+        import jax.numpy as jnp
+        f1, f9 = mk2(1), mk2(9)
+        float(f1(p, x)), float(f9(p, x))
         t1, t3 = [], []
         for _ in range(5):
             t0 = time.perf_counter()
-            f1(p, x).block_until_ready()
+            float(f1(p, x))
             t1.append(time.perf_counter() - t0)
             t0 = time.perf_counter()
-            f3(p, x).block_until_ready()
+            float(f9(p, x))
             t3.append(time.perf_counter() - t0)
-        sec = (sorted(t3)[2] - sorted(t1)[2]) / 2
+        sec = (sorted(t3)[2] - sorted(t1)[2]) / 8
         traffic = SpmmTraffic(nnz=csr.nnz, n_rows=n, n_cols=m, d=128)
         sol = traffic.speed_of_light_s()
         print(f"[{graph}] {label}: {sec*1e3:.3f} ms/spmm  "
