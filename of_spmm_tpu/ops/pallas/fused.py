@@ -50,10 +50,10 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             *rest, R, T, G, S_buf, H_blocks, DMAX, rank1, interpret):
     if rank1:
         vh_ref = vl_ref = None
-        hot_ref, xs_ref, o_ref, stage, hilo, gbuf, sem = rest
+        hot_ref, xs_ref, o_ref, stage, hilo, sem = rest
     else:
         vh_ref, vl_ref = rest[0], rest[1]
-        hot_ref, xs_ref, o_ref, stage, hilo, gbuf, sem = rest[2:]
+        hot_ref, xs_ref, o_ref, stage, hilo, sem = rest[2:]
 
     i = pl.program_id(0)
     tile = ctrl_ref[0, 0, 0]
@@ -130,35 +130,40 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                      _L:2 * _L] = lo
 
     # ---- one-hot gather + scatter ----------------------------------------
+    # Per-group FUSED chain: gather_g's (128, 256) panel feeds its own
+    # scatter matmul immediately (no T-wide gbuf barrier), so group g+1's
+    # gather overlaps group g's scatter on the MXU; the per-group partial
+    # sums accumulate as one expression.
     @pl.when(do_comp)
     def _():
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, _L), 0)
+        col_iota = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
+        acc = None
         for g in range(G):
             lanes = lidx_ref[g, :].reshape(_L, 1)
             blk = blk_ref[0, 0, g]
-            oh = (
-                lanes == jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
-            ).astype(jnp.bfloat16)
+            oh = (lanes == col_iota).astype(jnp.bfloat16)
             win = hilo[pl.ds(blk * _L, _L), :]
-            gbuf[g * _L:(g + 1) * _L, :] = jax.lax.dot_general(
+            gath = jax.lax.dot_general(
                 oh, win, _DN, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16)
-        roh = (
-            jax.lax.broadcasted_iota(jnp.int32, (R, T), 0)
-            == lrow_ref[:].reshape(1, T)
-        ).astype(jnp.bfloat16)
-        if rank1:
-            s = jax.lax.dot_general(roh, gbuf[:], _DN,
-                                    preferred_element_type=jnp.float32)
-            acc = s[:, :_L] + s[:, _L:]
-        else:
-            rvh = roh * vh_ref[:].reshape(1, T)
-            rvl = roh * vl_ref[:].reshape(1, T)
-            s = jax.lax.dot_general(rvh, gbuf[:], _DN,
-                                    preferred_element_type=jnp.float32)
-            s2 = jax.lax.dot_general(rvl, gbuf[:, 0:_L], _DN,
-                                     preferred_element_type=jnp.float32)
-            acc = s[:, :_L] + s[:, _L:] + s2
-        o_ref[:] = o_ref[:] + acc
+            roh = (
+                row_iota == lrow_ref[g, :].reshape(1, _L)
+            ).astype(jnp.bfloat16)
+            if rank1:
+                s = jax.lax.dot_general(roh, gath, _DN,
+                                        preferred_element_type=jnp.float32)
+            else:
+                rvh = roh * vh_ref[g, :].reshape(1, _L)
+                rvl = roh * vl_ref[g, :].reshape(1, _L)
+                s = jax.lax.dot_general(rvh, gath, _DN,
+                                        preferred_element_type=jnp.float32)
+                s2 = jax.lax.dot_general(rvl, gath[:, 0:_L], _DN,
+                                         preferred_element_type=jnp.float32)
+                # vl*ghi lands in the hi half; halves are summed below
+                s = s + jnp.pad(s2, ((0, 0), (0, _L)))
+            acc = s if acc is None else acc + s
+        o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
 
 
 def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
@@ -208,7 +213,6 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
         scratch_shapes=[
             pltpu.VMEM((2 * plan.S_buf, _L), jnp.float32),
             pltpu.VMEM((H_blocks * _L + plan.S_buf, 256), jnp.bfloat16),
-            pltpu.VMEM((T, 256), jnp.bfloat16),
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
     )
