@@ -64,6 +64,7 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
     prev_cnt = ctrl_ref[0, 0, 6]
     prev_base = ctrl_ref[0, 0, 7]
     split_rows = ctrl_ref[0, 0, 8]
+    zero_out = ctrl_ref[0, 0, 9]
     do_comp = tile >= 0
     HALF = _NSEM // 2
     CW = DMAX // 8  # scols row width
@@ -116,9 +117,13 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
     # row chunks gated on the tile's actual staged extent — small tiles
     # must not pay for the hub-sized buffer) ------------------------------
     SPLIT_CHUNK = min(2048, S_buf)
-    @pl.when(jnp.logical_and(do_comp, first == 1))
+
+    @pl.when(jnp.logical_and(do_comp, zero_out == 1))
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(jnp.logical_and(do_comp, first == 1))
+    def _():
         for c0 in range(0, S_buf, SPLIT_CHUNK):
             @pl.when(c0 < split_rows)
             def _(c0=c0):

@@ -48,6 +48,10 @@ DEFAULT_HOT_BUDGET = 16384   # max hot rows (x 512B hi|lo = 8 MB VMEM)
 DEFAULT_HOT_MIN_RUN = 32     # keep hot blocks while lanes/tile/block >= this
 DEFAULT_SEG_STEPS = 24576    # steps per pallas_call segment (SMEM prefetch)
 DMAX_CAP = 640               # max staging DMAs per step (static unroll bound)
+S_CAP = 32768                # max staged rows per (virtual) tile: bounds the
+#                              f32 staging scratch (2*S_CAP*512B = 32 MB) and
+#                              the hi/lo split extent; hub tiles split into
+#                              virtual tiles revisiting the same output block
 
 
 @jax.tree_util.register_pytree_node_class
@@ -65,6 +69,7 @@ class FusedSegment:
     #  [6] prev-step staging count (rows to wait)
     #  [7] prev-step dst base row
     #  [8] staged rows of the tile being computed (split extent)
+    #  [9] zero-output flag (first step of the first virtual tile only)
     scols: jnp.ndarray    # (steps, 8, DMAX/8) int32 X rows to stage
     lidx: jnp.ndarray     # (steps*G, 128) int32 window-local gather idx
     lrow: jnp.ndarray     # (steps*G, 128) int32 tile-local output row (R=pad)
@@ -220,6 +225,7 @@ def build_fused_plan(
     seg_steps: int = DEFAULT_SEG_STEPS,
     rank1: Optional[bool] = None,
     dma_wave: int = 64,
+    s_cap: int = S_CAP,
 ) -> FusedPlan:
     """Host-side fused-engine plan build (numpy; native fast path TBD)."""
     n, m = csr.shape
@@ -251,7 +257,9 @@ def build_fused_plan(
 
     nat = native.expansion_pass1(indptr, cols_all,
                                  vals_all.astype(np.float32), R)
-    tiles_meta = []   # (stage_cols, lidx, lrow, val, blk_of, n_groups)
+    tiles_meta = []   # (stage_cols, lidx, lrow, val, blk_of) per VIRTUAL tile
+    out_of = []       # output block (real tile) per meta entry
+    first_piece = []  # True on the first virtual tile of each output block
     n_staged = 0
     n_lanes = 0
     starts = indptr[np.minimum(np.arange(n_tiles + 1) * R, n)]
@@ -288,37 +296,63 @@ def build_fused_plan(
             win_pos[is_hot] = hr[is_hot]
             win_pos[~is_hot] = H + inv
             order = np.argsort(win_pos, kind="stable")
-        li, lr, lv, bo = _lane_groups(
-            win_pos[order], r[order], None if use_rank1 else v[order], R)
-        n_grp = li.shape[0]
-        pad_g = G if n_grp == 0 else (-n_grp % G)
-        if pad_g:
-            li = np.concatenate([li, np.zeros((pad_g, _L), np.int32)])
-            lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
-            lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
-            bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
-        # pad the staged list to a 128 multiple (col 0 repeats) so every
-        # one-hot window row is freshly DMA'd — unwritten scratch rows are
-        # never read (garbage/NaN x 0 is NaN on the MXU, not 0)
-        pad_s = -uniq.shape[0] % _L
-        if pad_s:
-            uniq = np.concatenate([uniq, np.zeros(pad_s, uniq.dtype)])
-        tiles_meta.append((uniq, li, lr, lv, bo))
-        n_staged += uniq.shape[0]
-        n_lanes += li.shape[0] * _L
+        wp = win_pos[order]
+        rr = r[order]
+        vv = None if use_rank1 else v[order]
+        # split hub tiles whose staged list exceeds S_CAP into virtual
+        # tiles (same output block, separate staging rounds): cut the
+        # cold lanes at S_CAP staged boundaries (lanes are win_pos-sorted,
+        # so each piece's lanes are contiguous)
+        n_pieces = max(1, -(-max(uniq.shape[0], 1) // s_cap))
+        for piece in range(n_pieces):
+            if n_pieces == 1:
+                wp_p, rr_p, vv_p, uniq_p = wp, rr, vv, uniq
+            else:
+                lo_pos = H + piece * s_cap
+                hi_pos = H + (piece + 1) * s_cap
+                if piece == 0:
+                    sel = wp < hi_pos  # includes all hot lanes
+                else:
+                    sel = (wp >= lo_pos) & (wp < hi_pos)
+                wp_p = wp[sel].copy()
+                wp_p[wp_p >= H] -= piece * s_cap
+                rr_p = rr[sel]
+                vv_p = None if use_rank1 else vv[sel]
+                uniq_p = uniq[piece * s_cap:(piece + 1) * s_cap]
+            li, lr, lv, bo = _lane_groups(wp_p, rr_p, vv_p, R)
+            n_grp = li.shape[0]
+            pad_g = G if n_grp == 0 else (-n_grp % G)
+            if pad_g:
+                li = np.concatenate([li, np.zeros((pad_g, _L), np.int32)])
+                lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
+                lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
+                bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
+            # pad the staged list to a 128 multiple (col 0 repeats) so
+            # every one-hot window row is freshly DMA'd — unwritten
+            # scratch rows are never read (garbage/NaN x 0 is NaN)
+            pad_s = -uniq_p.shape[0] % _L
+            if pad_s:
+                uniq_p = np.concatenate(
+                    [uniq_p, np.zeros(pad_s, uniq_p.dtype)])
+            tiles_meta.append((uniq_p, li, lr, lv, bo))
+            out_of.append(t)
+            first_piece.append(piece == 0)
+            n_staged += uniq_p.shape[0]
+            n_lanes += li.shape[0] * _L
 
     # --- staging buffer size + per-step DMA quota -------------------------
     # steps per tile: enough compute steps for the lanes AND enough to
     # stage the NEXT tile under the static-unroll cap (power-law tiles
     # with few lanes but a heavy successor get padded idle steps)
+    n_meta = len(tiles_meta)
     steps_of = []
-    for t in range(n_tiles):
+    for t in range(n_meta):
         need_c = max(tiles_meta[t][1].shape[0] // G, 1)
-        nxt = tiles_meta[t + 1][0].shape[0] if t + 1 < n_tiles else 0
+        nxt = tiles_meta[t + 1][0].shape[0] if t + 1 < n_meta else 0
         need_s = -(-nxt // DMAX_CAP)
         steps_of.append(max(need_c, need_s, 1))
     # pad lane arrays of tiles whose step count grew
-    for t in range(n_tiles):
+    for t in range(n_meta):
         uniq, li, lr, lv, bo = tiles_meta[t]
         want_g = steps_of[t] * G
         pad_g = want_g - li.shape[0]
@@ -330,6 +364,7 @@ def build_fused_plan(
             tiles_meta[t] = (uniq, li, lr, lv, bo)
             n_lanes += pad_g * _L
     S_buf = max(max(tm[0].shape[0] for tm in tiles_meta), _L)
+    assert S_buf <= s_cap + _L, (S_buf, s_cap)
     S_buf += -S_buf % 2048 if S_buf > 2048 else -S_buf % _L
     # (2048 = the kernel's hi/lo split chunk; keep chunks in bounds)
     # DMAX: tile t+1's staged rows spread over tile t's steps (tile 0 over
@@ -341,19 +376,20 @@ def build_fused_plan(
         DMAX = max(DMAX, need)
     DMAX += -DMAX % dma_wave
 
-    # --- emit segments ----------------------------------------------------
+    # --- emit segments (cut only at real-tile boundaries) -----------------
     segments = []
     seg_start = 0
-    while seg_start < n_tiles:
+    while seg_start < n_meta:
         seg_tiles = [seg_start]
         total = steps_of[seg_start] + steps_of[seg_start]  # prologue + t0
-        while (seg_tiles[-1] + 1 < n_tiles
-               and total + steps_of[seg_tiles[-1] + 1] <= seg_steps):
+        while (seg_tiles[-1] + 1 < n_meta
+               and (total + steps_of[seg_tiles[-1] + 1] <= seg_steps
+                    or not first_piece[seg_tiles[-1] + 1])):
             seg_tiles.append(seg_tiles[-1] + 1)
             total += steps_of[seg_tiles[-1]]
         segments.append(
-            _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G,
-                          S_buf, DMAX, use_rank1))
+            _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
+                          first_piece, R, T, G, S_buf, DMAX, use_rank1))
         seg_start = seg_tiles[-1] + 1
 
     # leaves stay NUMPY (lazy device transfer; a remotely-tunneled chip
@@ -370,8 +406,8 @@ def build_fused_plan(
     )
 
 
-def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
-                  rank1):  # noqa: C901
+def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
+                  R, T, G, S_buf, DMAX, rank1):  # noqa: C901
     """Lay out one segment's step stream: a prologue staging the first
     tile, then per tile: compute steps that also stage the NEXT tile."""
     first = seg_tiles[0]
@@ -411,15 +447,17 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
     ctrl[:prologue, 0, 0] = -1
     fill_staging(first, 0, prologue, 0)
 
+    out_base = out_of[seg_tiles[0]]
     step = prologue
     for j, t in enumerate(seg_tiles):
         ns = steps_of[t]
         uniq, li, lr, lv, bo = tiles_meta[t]
-        ctrl[step:step + ns, 0, 0] = j
-        ctrl[step, 0, 1] = 1  # first step: zero output + split staged
+        ctrl[step:step + ns, 0, 0] = out_of[t] - out_base
+        ctrl[step, 0, 1] = 1  # first step of a (virtual) tile: split
+        ctrl[step, 0, 9] = 1 if first_piece[t] else 0  # zero output
         ctrl[step, 0, 8] = uniq.shape[0]
         ctrl[step:step + ns, 0, 5] = (j % 2) * S_buf
-        tile_of[step:step + ns] = j
+        tile_of[step:step + ns] = out_of[t] - out_base
         lidx[step * G:(step + ns) * G] = li
         lrow[step * G:(step + ns) * G] = lr
         blk[step:step + ns, 0, :] = bo.reshape(ns, G)
@@ -451,5 +489,5 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, R, T, G, S_buf, DMAX,
         val_hi=val_hi,
         val_lo=val_lo,
         n_steps=n_steps,
-        n_tiles=len(seg_tiles),
+        n_tiles=out_of[seg_tiles[-1]] - out_base + 1,
     )

@@ -47,8 +47,11 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
         out = np.zeros((seg.n_tiles * R, d), np.float32)
         for i in range(seg.n_steps):
             tile, first, base, cnt, _, split_base = ctrl[i, 0, :6]
+            zero_out = ctrl[i, 0, 9]
             if cnt:
                 stage[base:base + cnt] = xs[scols[i, :cnt]]
+            if tile >= 0 and first and zero_out:
+                out[tile * R:(tile + 1) * R] = 0.0
             if tile >= 0 and first:
                 hilo[:] = _hilo(
                     stage[split_base:split_base + plan.S_buf])

@@ -182,3 +182,32 @@ def test_fused_operator_spmm_and_grad():
     g = jax.grad(lambda xx: jnp.sum(spmm(op, xx) * w))(jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
                                atol=ATOL * np.abs(dense.T @ w).max() + ATOL)
+
+
+def test_fused_hub_tile_splitting():
+    """Hub tiles whose staged list exceeds the cap split into virtual
+    tiles that revisit the same output block (bounds the VMEM staging
+    scratch on power-law graphs)."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+    rng = np.random.default_rng(23)
+    n = 512
+    dense = (rng.random((n, n)) < 0.02).astype(np.float32)
+    dense[:128, :] = (rng.random((128, n)) < 0.6).astype(np.float32)  # hub rows
+    csr = CSR.from_dense(dense)
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=0, s_cap=256)
+    assert plan.S_buf <= 256 + 128
+    n_meta = sum(
+        int((np.asarray(seg.ctrl)[:, 0, 1] == 1).sum())
+        for seg in plan.segments)
+    assert n_meta > -(-n // 128)  # more virtual tiles than output blocks
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    got_sim = simulate(plan, x)
+    got_k = np.asarray(spmm_fused(plan, jnp.asarray(x)))
+    want = dense @ x
+    np.testing.assert_allclose(got_sim, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+    np.testing.assert_allclose(got_k, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
