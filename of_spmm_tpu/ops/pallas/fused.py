@@ -47,7 +47,8 @@ _NSEM = 16   # semaphore ring (split by step parity)
 
 
 def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
-            *rest, R, T, G, S_buf, H_blocks, DMAX, rank1, interpret):
+            *rest, R, T, G, S_buf, H_blocks, DMAX, rank1, multihot,
+            interpret):
     if rank1:
         vh_ref = vl_ref = None
         hot_ref, xs_ref, o_ref, stage, hilo, sem = rest
@@ -145,13 +146,37 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
         acc = None
         for g in range(G):
-            lanes = lidx_ref[g, :].reshape(_L, 1)
             blk = blk_ref[0, 0, g]
-            oh = (lanes == col_iota).astype(jnp.bfloat16)
             win = hilo[pl.ds(blk * _L, _L), :]
-            gath = jax.lax.dot_general(
-                oh, win, _DN, preferred_element_type=jnp.float32
-            ).astype(jnp.bfloat16)
+            if multihot:
+                # (4 words, 128 lanes) bitmask -> ohT (128 window rows,
+                # 128 lanes): row 32w+j selected for lane l iff bit j of
+                # word w. The matmul is an exact selection-SUM (multiple
+                # rows of one block folding into one lane).
+                mw = lidx_ref[g]                       # (4, 128) int32
+                parts = []
+                for w4 in range(4):
+                    word = jnp.broadcast_to(mw[w4:w4 + 1, :], (32, _L))
+                    sh = jax.lax.broadcasted_iota(jnp.int32, (32, _L), 0)
+                    parts.append(jnp.right_shift(word, sh) & 1)
+                ohT = jnp.concatenate(parts, axis=0)   # (128, 128)
+                graw = jax.lax.dot_general(
+                    ohT.astype(jnp.bfloat16), win,
+                    (((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                # selection-SUMS are not bf16-exact: recombine the hi/lo
+                # halves in f32 and split again for the scatter matmul
+                g_tot = graw[:, 0:_L] + graw[:, _L:2 * _L]
+                g_hi = g_tot.astype(jnp.bfloat16)
+                g_lo = (g_tot - g_hi.astype(jnp.float32)
+                        ).astype(jnp.bfloat16)
+                gath = jnp.concatenate([g_hi, g_lo], axis=1)
+            else:
+                lanes = lidx_ref[g, :].reshape(_L, 1)
+                oh = (lanes == col_iota).astype(jnp.bfloat16)
+                gath = jax.lax.dot_general(
+                    oh, win, _DN, preferred_element_type=jnp.float32
+                ).astype(jnp.bfloat16)
             roh = (
                 row_iota == lrow_ref[g, :].reshape(1, _L)
             ).astype(jnp.bfloat16)
@@ -181,7 +206,8 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
 
     kernel = functools.partial(
         _kernel, R=R, T=T, G=G, S_buf=plan.S_buf, H_blocks=H_blocks,
-        DMAX=DMAX, rank1=rank1, interpret=interpret)
+        DMAX=DMAX, rank1=rank1, multihot=plan.multihot,
+        interpret=interpret)
 
     def smem(shape):
         return pl.BlockSpec(shape, lambda i, t: (i, 0, 0),
@@ -191,11 +217,16 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
         return pl.BlockSpec((G, _L), lambda i, t: (i, 0),
                             memory_space=pltpu.VMEM)
 
+    lidx_spec = (
+        pl.BlockSpec((G, 4, _L), lambda i, t: (i, 0, 0),
+                     memory_space=pltpu.VMEM)
+        if plan.multihot else lanes()
+    )
     in_specs = [
         smem((1, 1, 16)),                    # ctrl
         smem((1, 8, DMAX // 8)),             # scols
         smem((1, 1, G)),                     # blk
-        lanes(),                             # lidx
+        lidx_spec,                           # lidx / multi-hot masks
         lanes(),                             # lrow
     ]
     args = [seg.ctrl, seg.scols, seg.blk, seg.lidx, seg.lrow]

@@ -71,7 +71,10 @@ class FusedSegment:
     #  [8] staged rows of the tile being computed (split extent)
     #  [9] zero-output flag (first step of the first virtual tile only)
     scols: jnp.ndarray    # (steps, 8, DMAX/8) int32 X rows to stage
-    lidx: jnp.ndarray     # (steps*G, 128) int32 window-local gather idx
+    lidx: jnp.ndarray     # (steps*G, 128) int32 window-local gather idx,
+    #                        OR multi-hot masks (steps*G, 4, 128) int32
+    #                        (bit j of word w, lane l = select window row
+    #                        32w+j for lane l) when plan.multihot
     lrow: jnp.ndarray     # (steps*G, 128) int32 tile-local output row (R=pad)
     blk: jnp.ndarray      # (steps, 1, G) int32 window block (hot-table-
     #                        relative; >= H/128 means staged buffer)
@@ -105,6 +108,7 @@ class FusedPlan:
     shape: Tuple[int, int]
     R: int
     T: int
+    multihot: bool                # lanes are (row, block) pairs with bitmasks
     S_buf: int                    # staging buffer rows (per parity)
     DMAX: int                     # max staging rows per step
     n_staged: int                 # total cold staged rows (DMA volume)
@@ -113,18 +117,18 @@ class FusedPlan:
     def tree_flatten(self):
         children = (self.segments, self.hot_ids, self.row_scale,
                     self.col_scale)
-        aux = (self.shape, self.R, self.T, self.S_buf, self.DMAX,
-               self.n_staged, self.n_lanes)
+        aux = (self.shape, self.R, self.T, self.multihot, self.S_buf,
+               self.DMAX, self.n_staged, self.n_lanes)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         segments, hot_ids, row_scale, col_scale = children
-        shape, R, T, S_buf, DMAX, n_staged, n_lanes = aux
+        shape, R, T, multihot, S_buf, DMAX, n_staged, n_lanes = aux
         return cls(segments=tuple(segments), hot_ids=hot_ids,
                    row_scale=row_scale, col_scale=col_scale, shape=shape,
-                   R=R, T=T, S_buf=S_buf, DMAX=DMAX, n_staged=n_staged,
-                   n_lanes=n_lanes)
+                   R=R, T=T, multihot=multihot, S_buf=S_buf, DMAX=DMAX,
+                   n_staged=n_staged, n_lanes=n_lanes)
 
     @property
     def n_hot(self) -> int:
@@ -141,6 +145,58 @@ class FusedPlan:
 def place_plan(plan: FusedPlan) -> FusedPlan:
     """Commit every plan leaf to the default device in one transfer."""
     return jax.device_put(plan)
+
+
+def _lane_groups_multihot(win_pos, rows, R):
+    """One lane per (output row, 128-row window block): win_pos-sorted
+    entries dedup to lanes carrying 128-bit selection masks, so a row's
+    repeats within a block ride ONE gather matmul row (the one-hot row
+    becomes the row's binary pattern in the block — still an exact
+    selection-sum for rank-1-folded values). Returns
+    (masks (n_grp,4,128) int32, lrow (n_grp,128), blk_of (n_grp,))."""
+    m = win_pos.shape[0]
+    if m == 0:
+        return (np.zeros((0, 4, _L), np.int32),
+                np.zeros((0, _L), np.int32), np.zeros((0,), np.int32))
+    blk = win_pos // _L
+    bit = win_pos - blk * _L
+    # lane key = (block, row); entries sorted by block already (win_pos
+    # sorted); sort within block by row to group pairs
+    key = blk * np.int64(2 ** 32) + rows
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    bit_s = bit[order]
+    boundary = np.empty(m, dtype=bool)
+    boundary[0] = True
+    boundary[1:] = key_s[1:] != key_s[:-1]
+    lane_of = np.cumsum(boundary) - 1
+    n_lanes = int(lane_of[-1]) + 1
+    lane_blk = blk[order][boundary]
+    lane_row = rows[order][boundary]
+    words = np.zeros((n_lanes, 4), np.uint32)
+    np.bitwise_or.at(
+        words, (lane_of, bit_s // 32),
+        (np.uint32(1) << (bit_s % 32).astype(np.uint32)))
+    # group lanes per block into 128-lane groups (pad: mask 0, row R)
+    bnd = np.nonzero(np.diff(lane_blk))[0] + 1
+    starts = np.concatenate([[0], bnd])
+    ends = np.concatenate([bnd, [n_lanes]])
+    lens = ends - starts
+    plens = -(-lens // _L) * _L
+    out_off = np.zeros(lens.shape[0] + 1, dtype=np.int64)
+    np.cumsum(plens, out=out_off[1:])
+    total = int(out_off[-1])
+    runid = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    dst = out_off[runid] + (np.arange(n_lanes, dtype=np.int64)
+                            - starts[runid])
+    masks = np.zeros((total, 4), np.uint32)
+    lrow = np.full(total, R, dtype=np.int32)
+    masks[dst] = words
+    lrow[dst] = lane_row.astype(np.int32)
+    blk_of = np.repeat(lane_blk[starts].astype(np.int32), plens // _L)
+    # (n_grp, 4, 128): word-major, lanes along the lane dim
+    masks = masks.reshape(-1, _L, 4).transpose(0, 2, 1).astype(np.int32)
+    return masks, lrow.reshape(-1, _L), blk_of
 
 
 def _lane_groups(win_pos, rows, vals, R):
@@ -319,11 +375,20 @@ def build_fused_plan(
                 rr_p = rr[sel]
                 vv_p = None if use_rank1 else vv[sel]
                 uniq_p = uniq[piece * s_cap:(piece + 1) * s_cap]
-            li, lr, lv, bo = _lane_groups(wp_p, rr_p, vv_p, R)
+            if use_rank1:
+                li, lr, bo = _lane_groups_multihot(wp_p, rr_p, R)
+                lv = np.zeros((li.shape[0], _L), np.float32)
+            else:
+                li, lr, lv, bo = _lane_groups(wp_p, rr_p, vv_p, R)
             n_grp = li.shape[0]
             pad_g = G if n_grp == 0 else (-n_grp % G)
             if pad_g:
-                li = np.concatenate([li, np.zeros((pad_g, _L), np.int32)])
+                if use_rank1:
+                    li = np.concatenate(
+                        [li, np.zeros((pad_g, 4, _L), np.int32)])
+                else:
+                    li = np.concatenate(
+                        [li, np.zeros((pad_g, _L), np.int32)])
                 lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
                 lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
                 bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
@@ -357,7 +422,8 @@ def build_fused_plan(
         want_g = steps_of[t] * G
         pad_g = want_g - li.shape[0]
         if pad_g > 0:
-            li = np.concatenate([li, np.zeros((pad_g, _L), np.int32)])
+            li = np.concatenate(
+                [li, np.zeros((pad_g,) + li.shape[1:], np.int32)])
             lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
             lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
             bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
@@ -401,13 +467,14 @@ def build_fused_plan(
         row_scale=(row_scale.astype(np.float32) if use_rank1 else None),
         col_scale=(col_scale.astype(np.float32) if use_rank1 else None),
         shape=csr.shape,
-        R=R, T=T, S_buf=int(S_buf), DMAX=int(DMAX),
+        R=R, T=T, multihot=use_rank1, S_buf=int(S_buf), DMAX=int(DMAX),
         n_staged=int(n_staged), n_lanes=int(n_lanes),
     )
 
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
                   R, T, G, S_buf, DMAX, rank1):  # noqa: C901
+    multihot = rank1
     """Lay out one segment's step stream: a prologue staging the first
     tile, then per tile: compute steps that also stage the NEXT tile."""
     first = seg_tiles[0]
@@ -416,7 +483,8 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
 
     ctrl = np.zeros((n_steps, 1, 16), np.int32)
     scols = np.zeros((n_steps, DMAX), np.int32)
-    lidx = np.zeros((n_steps * G, _L), np.int32)
+    lidx = (np.zeros((n_steps * G, 4, _L), np.int32) if multihot
+            else np.zeros((n_steps * G, _L), np.int32))
     lrow = np.full((n_steps * G, _L), R, np.int32)
     blk = np.zeros((n_steps, 1, G), np.int32)
     tile_of = np.zeros(n_steps, np.int32)

@@ -64,7 +64,14 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
                         sb = b - H_blocks
                         win = hilo[sb * _L:(sb + 1) * _L]
                     rows = lrow[i * G + g]
-                    gath = win[lidx[i * G + g]]
+                    if plan.multihot:
+                        mw = lidx[i * G + g].astype(np.uint32)  # (4, 128)
+                        rep = np.repeat(mw, 32, axis=0)         # (128,128)
+                        shift = (np.arange(_L) % 32)[:, None]
+                        ohT = ((rep >> shift) & 1).astype(np.float32)
+                        gath = ohT.T @ win                       # (128, 2d)
+                    else:
+                        gath = win[lidx[i * G + g]]
                     if seg.val_hi is None:
                         contrib = gath[:, :d] + gath[:, d:]
                     else:
