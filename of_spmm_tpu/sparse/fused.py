@@ -436,9 +436,10 @@ def build_fused_plan(
     # DMAX: tile t+1's staged rows spread over tile t's steps (tile 0 over
     # a prologue sized like its own step count)
     DMAX = dma_wave
-    for t in range(n_tiles):
+    for t in range(n_meta):
         budget_steps = steps_of[t - 1] if t else steps_of[0]
         need = -(-tiles_meta[t][0].shape[0] // budget_steps)
+        need += -need % dma_wave  # fill_staging rounds per-step counts up
         DMAX = max(DMAX, need)
     DMAX += -DMAX % dma_wave
 
