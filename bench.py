@@ -57,6 +57,11 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
             DEFAULT_CW, DEFAULT_R, DEFAULT_TILE)
 
         ly_key = f"|ly-exp3-R{DEFAULT_R}-T{DEFAULT_TILE}-C{DEFAULT_CW}"
+    elif layout == "fused":
+        from of_spmm_tpu.sparse.fused import (
+            DEFAULT_HOT_BUDGET, DEFAULT_R as FR, DEFAULT_T as FT)
+
+        ly_key = f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}-v8"
     else:
         ly_key = f"|ly-{layout}" if layout != "auto" else ""
     op, nnz, shape = cached(
@@ -68,10 +73,17 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     from of_spmm_tpu.sparse.tiled import TieredEll
 
     from of_spmm_tpu.sparse.expansion import ExpansionPlan
+    from of_spmm_tpu.sparse.fused import FusedPlan
 
     if isinstance(op.binned, TieredEll):
         layout_s = f"tiered x{len(op.binned.tiers)}"
         widths = sorted({b.width for t in op.binned.tiers for b in t.buckets})
+    elif isinstance(op.binned, FusedPlan):
+        p = op.binned
+        layout_s = (f"fused R={p.R} T={p.T} hot={p.n_hot} "
+                    f"staged={p.n_staged/1e6:.1f}M lanes={p.n_lanes/1e6:.1f}M "
+                    f"multihot={p.multihot}")
+        widths = []
     elif isinstance(op.binned, ExpansionPlan):
         p = op.binned
         layout_s = (f"expansion R={p.R} TILE={p.TILE} CW={p.CW} "
@@ -300,7 +312,8 @@ def main():
     ap.add_argument("--tier-size", type=int, default=None,
                     help="column tier size override (sparse/tiled.py)")
     ap.add_argument("--layout", default="auto",
-                    choices=("auto", "binned", "tiered", "expansion"),
+                    choices=("auto", "binned", "tiered", "expansion",
+                             "fused"),
                     help="plan layout (ops/autograd.py make_operator)")
     ap.add_argument("--op", default="spmm", choices=("spmm", "spgemm"),
                     help="which benchmark to run")
@@ -340,8 +353,8 @@ def main():
                               layout="auto")
         exp = bench_graph(args.graph, d=args.d, iters=args.iters,
                           impls=("pallas",), tier_size=args.tier_size,
-                          layout="expansion")
-        results.update({"pallas-expansion": v for v in exp.values()})
+                          layout="fused")
+        results.update({"pallas-fused": v for v in exp.values()})
     else:
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=impls, tier_size=args.tier_size,
