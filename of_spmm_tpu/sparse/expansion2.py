@@ -168,10 +168,21 @@ def factor_rank1(csr: CSR, rtol: float = 1e-6):
         (inv_out, np.ones(m)),                   # row normalized
         (np.ones(n), inv_in),                    # col normalized
     )
+    # screen candidates on a small random edge sample, then verify the
+    # survivor exactly (4 full 10^8-element passes -> ~1 on big graphs)
+    nnz = vals.shape[0]
+    if nnz > 1 << 20:
+        sample = np.random.default_rng(0).integers(0, nnz, 1 << 16)
+        rs, cs, vs = rows[sample], cols[sample], vals[sample]
+    else:
+        rs, cs, vs = rows, cols, vals
     for r, c in candidates:
-        approx = r[rows] * c[cols]
-        if np.allclose(approx, vals, rtol=rtol, atol=0):
-            return r, c
+        if not np.allclose(r[rs] * c[cs], vs, rtol=rtol, atol=0):
+            continue
+        if nnz > rs.shape[0] and not np.allclose(
+                r[rows] * c[cols], vals, rtol=rtol, atol=0):
+            continue
+        return r, c
     return None
 
 
