@@ -211,3 +211,29 @@ def test_fused_hub_tile_splitting():
                                atol=ATOL * np.abs(want).max() + ATOL)
     np.testing.assert_allclose(got_k, want, rtol=RTOL,
                                atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_fused_gcn_train_step():
+    """End-to-end: a GCN training step over the fused-engine operator
+    (forward + transpose-plan backward through the model loss)."""
+    import jax
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.models import GCN
+    from of_spmm_tpu.models.gcn import normalized_adjacency
+    from of_spmm_tpu.ops.autograd import make_operator
+
+    rng = np.random.default_rng(31)
+    n, d, c = 400, 16, 4
+    dense = (rng.random((n, n)) < 0.02).astype(np.float32)
+    np.fill_diagonal(dense, 0)
+    csr = normalized_adjacency(CSR.from_dense(dense))
+    op = make_operator(csr, layout="fused", place=False)
+    model = GCN(feature_dims=(d, 8, c))
+    params = model.init(jax.random.key(0))
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, c, n).astype(np.int32))
+    loss, grads = jax.value_and_grad(model.loss_fn)(params, op, x, y)
+    assert np.isfinite(float(loss))
+    assert all(np.isfinite(np.asarray(g)).all()
+               for g in jax.tree_util.tree_leaves(grads))
