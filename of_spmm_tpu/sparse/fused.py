@@ -437,7 +437,11 @@ def build_fused_plan(
     # a prologue sized like its own step count)
     DMAX = dma_wave
     for t in range(n_meta):
-        budget_steps = steps_of[t - 1] if t else steps_of[0]
+        # a tile is staged over the PREVIOUS tile's steps, except when it
+        # opens a segment (its own prologue, length steps_of[t]) — any
+        # tile can open a segment, so budget with the minimum of both
+        budget_steps = min(steps_of[t - 1], steps_of[t]) if t \
+            else steps_of[0]
         need = -(-tiles_meta[t][0].shape[0] // budget_steps)
         need += -need % dma_wave  # fill_staging rounds per-step counts up
         DMAX = max(DMAX, need)
