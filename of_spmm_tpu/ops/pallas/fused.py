@@ -48,13 +48,18 @@ _NSEM = 16   # semaphore ring (split by step parity)
 
 def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             *rest, R, T, G, S_buf, H_blocks, DMAX, rank1, multihot,
-            interpret):
+            chunks, interpret):
     if rank1:
         vh_ref = vl_ref = None
-        hot_ref, xs_ref, o_ref, stage, hilo, sem = rest
+        rest2 = rest
     else:
         vh_ref, vl_ref = rest[0], rest[1]
-        hot_ref, xs_ref, o_ref, stage, hilo, sem = rest[2:]
+        rest2 = rest[2:]
+    if chunks:
+        hot_ref, table_ref, o_ref, hilo, sem = rest2
+        stage = None
+    else:
+        hot_ref, xs_ref, o_ref, stage, hilo, sem = rest2
 
     i = pl.program_id(0)
     tile = ctrl_ref[0, 0, 0]
@@ -84,56 +89,94 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
     # semaphore slots are STATIC (step parity chosen by duplicating the
     # block under i%2 branches), and predication is per 64-wave (counts
     # are wave multiples by plan invariant).
-    def mkdma(g, pos_base, slot_off):
-        c = scols_ref[0, g // CW, g % CW]
-        return pltpu.make_async_copy(
-            xs_ref.at[c], stage.at[pos_base + g],
-            sem.at[(g % HALF) + slot_off])
+    if chunks:
+        # 128-row BLOCK copies from the tier-major staged table into the
+        # double-buffered staged region of the window buffer — ~100x
+        # fewer scalar DMA ops than per-row staging
+        def chunk_block(slot_issue, slot_wait):
+            for k in range(DMAX):
+                @pl.when(k < cnt)
+                def _(k=k):
+                    src_blk = scols_ref[0, 0, k]
+                    dst_blk = scols_ref[0, 1, k]
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(src_blk * _L, _L), :],
+                        hilo.at[pl.ds(H_blocks * _L + dst_blk * _L, _L),
+                                :],
+                        sem.at[(k % HALF) + slot_issue]).start()
 
-    NW = DMAX // _W
+                @pl.when(jnp.logical_and(i > 0, k < prev_cnt))
+                def _(k=k):
+                    # wait: shape-identical reconstruction; prev dst from
+                    # the PREVIOUS step's chunk list is not readable here,
+                    # so waits use a dst-shape proxy at block 0 of the
+                    # other parity region — byte counts match (128, 256).
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(0, _L), :],
+                        hilo.at[pl.ds(H_blocks * _L, _L), :],
+                        sem.at[(k % HALF) + slot_wait]).wait()
 
-    def dma_block(slot_issue, slot_wait):
-        for w in range(NW):
-            @pl.when(w * _W < cnt)
-            def _(w=w):
-                for j in range(_W):
-                    mkdma(w * _W + j, base, slot_issue).start()
+        @pl.when(i % 2 == 0)
+        def _():
+            chunk_block(0, HALF)
 
-            @pl.when(jnp.logical_and(i > 0, w * _W < prev_cnt))
-            def _(w=w):
-                # wait reconstructs a shape-identical copy (src identity
-                # is irrelevant; prev dst base comes from the plan)
-                for j in range(_W):
-                    mkdma(w * _W + j, prev_base, slot_wait).wait()
+        @pl.when(i % 2 == 1)
+        def _():
+            chunk_block(HALF, 0)
+    else:
+        def mkdma(g, pos_base, slot_off):
+            c = scols_ref[0, g // CW, g % CW]
+            return pltpu.make_async_copy(
+                xs_ref.at[c], stage.at[pos_base + g],
+                sem.at[(g % HALF) + slot_off])
 
-    @pl.when(i % 2 == 0)
-    def _():
-        dma_block(0, HALF)
+        NW = DMAX // _W
 
-    @pl.when(i % 2 == 1)
-    def _():
-        dma_block(HALF, 0)
+        def dma_block(slot_issue, slot_wait):
+            for w in range(NW):
+                @pl.when(w * _W < cnt)
+                def _(w=w):
+                    for j in range(_W):
+                        mkdma(w * _W + j, base, slot_issue).start()
+
+                @pl.when(jnp.logical_and(i > 0, w * _W < prev_cnt))
+                def _(w=w):
+                    # wait reconstructs a shape-identical copy (src
+                    # identity is irrelevant; prev dst base is plan-given)
+                    for j in range(_W):
+                        mkdma(w * _W + j, prev_base, slot_wait).wait()
+
+        @pl.when(i % 2 == 0)
+        def _():
+            dma_block(0, HALF)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            dma_block(HALF, 0)
 
     # ---- first step of a tile: zero output + split staged rows (in 2048-
     # row chunks gated on the tile's actual staged extent — small tiles
     # must not pay for the hub-sized buffer) ------------------------------
-    SPLIT_CHUNK = min(2048, S_buf)
-
     @pl.when(jnp.logical_and(do_comp, zero_out == 1))
     def _():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    @pl.when(jnp.logical_and(do_comp, first == 1))
-    def _():
-        for c0 in range(0, S_buf, SPLIT_CHUNK):
-            @pl.when(c0 < split_rows)
-            def _(c0=c0):
-                wbuf = stage[pl.ds(split_base + c0, SPLIT_CHUNK), :]
-                hi = wbuf.astype(jnp.bfloat16)
-                lo = (wbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                hilo[pl.ds(H_blocks * _L + c0, SPLIT_CHUNK), 0:_L] = hi
-                hilo[pl.ds(H_blocks * _L + c0, SPLIT_CHUNK),
-                     _L:2 * _L] = lo
+    if not chunks:
+        SPLIT_CHUNK = min(2048, S_buf)
+
+        @pl.when(jnp.logical_and(do_comp, first == 1))
+        def _():
+            for c0 in range(0, S_buf, SPLIT_CHUNK):
+                @pl.when(c0 < split_rows)
+                def _(c0=c0):
+                    wbuf = stage[pl.ds(split_base + c0, SPLIT_CHUNK), :]
+                    hi = wbuf.astype(jnp.bfloat16)
+                    lo = (wbuf - hi.astype(jnp.float32)
+                          ).astype(jnp.bfloat16)
+                    hilo[pl.ds(H_blocks * _L + c0, SPLIT_CHUNK),
+                         0:_L] = hi
+                    hilo[pl.ds(H_blocks * _L + c0, SPLIT_CHUNK),
+                         _L:2 * _L] = lo
 
     # ---- one-hot gather + scatter ----------------------------------------
     # Per-group FUSED chain: gather_g's (128, 256) panel feeds its own
@@ -147,7 +190,14 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         acc = None
         for g in range(G):
             blk = blk_ref[0, 0, g]
-            win = hilo[pl.ds(blk * _L, _L), :]
+            if chunks:
+                # cold windows live in the double-buffered staged region:
+                # add the read-parity row offset (ctrl[5]); hot windows
+                # (blk < H_blocks) stay at the head
+                woff = blk * _L + jnp.where(blk >= H_blocks, split_base, 0)
+                win = hilo[pl.ds(woff, _L), :]
+            else:
+                win = hilo[pl.ds(blk * _L, _L), :]
             if multihot:
                 # (4 words, 128 lanes) bitmask -> ohT (128 window rows,
                 # 128 lanes): row 32w+j selected for lane l iff bit j of
@@ -196,6 +246,30 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
 
 
+def _stage_table(seg: FusedSegment, plan: FusedPlan,
+                 xs: jnp.ndarray) -> jnp.ndarray:
+    """Chunks-mode XLA staging phase: per-tier takes (the measured v5e
+    fast path needs tables <= 32K rows) into the tier-major packed
+    [hi|lo] bf16 table the kernel block-copies from."""
+    ptr = seg.stage_tier_ptr
+    TS = plan.stage_tier
+    outs = []
+    for t in range(len(ptr) - 1):
+        if ptr[t + 1] == ptr[t]:
+            continue
+        idx = jax.lax.slice_in_dim(seg.stage_take, ptr[t], ptr[t + 1])
+        lo_r = min(t * TS, xs.shape[0] - 1)
+        hi_r = min((t + 1) * TS, xs.shape[0])
+        xt = jax.lax.slice_in_dim(xs, lo_r, hi_r, axis=0)
+        outs.append(jnp.take(xt, idx, axis=0, mode="clip"))
+    if not outs:
+        return jnp.zeros((_L, 256), jnp.bfloat16)
+    g = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    hi = g.astype(jnp.bfloat16)
+    lo = (g - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo], axis=1)
+
+
 def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
                   interpret: bool) -> jnp.ndarray:
     R, T = plan.R, plan.T
@@ -203,10 +277,11 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
     H_blocks = plan.n_hot // _L
     DMAX = plan.DMAX
     rank1 = seg.val_hi is None
+    chunks = plan.staging == "chunks"
 
     kernel = functools.partial(
         _kernel, R=R, T=T, G=G, S_buf=plan.S_buf, H_blocks=H_blocks,
-        DMAX=DMAX, rank1=rank1, multihot=plan.multihot,
+        DMAX=DMAX, rank1=rank1, multihot=plan.multihot, chunks=chunks,
         interpret=interpret)
 
     def smem(shape):
@@ -224,7 +299,8 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
     )
     in_specs = [
         smem((1, 1, 16)),                    # ctrl
-        smem((1, 8, DMAX // 8)),             # scols
+        smem((1, 2, DMAX)) if chunks         # chunk (src, dst) block pairs
+        else smem((1, 8, DMAX // 8)),        # scols (X rows to stage)
         smem((1, 1, G)),                     # blk
         lidx_spec,                           # lidx / multi-hot masks
         lanes(),                             # lrow
@@ -236,9 +312,12 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
     in_specs += [
         pl.BlockSpec((max(H_blocks * _L, _L), 256), lambda i, t: (0, 0),
                      memory_space=pltpu.VMEM),   # hot table (packed hi|lo)
-        pl.BlockSpec(memory_space=pl.ANY),        # xs (HBM, DMA source)
+        pl.BlockSpec(memory_space=pl.ANY),        # staged table / xs (HBM)
     ]
-    args += [hot_hilo, xs]
+    if chunks:
+        args += [hot_hilo, _stage_table(seg, plan, xs)]
+    else:
+        args += [hot_hilo, xs]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,   # tile_of
@@ -246,11 +325,15 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((R, _L), lambda i, t: (t[i], 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[
-            pltpu.VMEM((2 * plan.S_buf, _L), jnp.float32),
-            pltpu.VMEM((H_blocks * _L + plan.S_buf, 256), jnp.bfloat16),
-            pltpu.SemaphoreType.DMA((_NSEM,)),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((H_blocks * _L + 2 * plan.S_buf, 256),
+                        jnp.bfloat16),
+             pltpu.SemaphoreType.DMA((_NSEM,))]
+            if chunks else
+            [pltpu.VMEM((2 * plan.S_buf, _L), jnp.float32),
+             pltpu.VMEM((H_blocks * _L + plan.S_buf, 256), jnp.bfloat16),
+             pltpu.SemaphoreType.DMA((_NSEM,))]
+        ),
     )
     return pl.pallas_call(
         kernel,

@@ -70,7 +70,10 @@ class FusedSegment:
     #  [7] prev-step dst base row
     #  [8] staged rows of the tile being computed (split extent)
     #  [9] zero-output flag (first step of the first virtual tile only)
-    scols: jnp.ndarray    # (steps, 8, DMAX/8) int32 X rows to stage
+    scols: jnp.ndarray    # rows mode: (steps, 8, DMAX/8) int32 X rows to
+    #                        stage; chunks mode: (steps, 2, CMAX) int32
+    #                        [src_blk | dst_blk] 128-row block copies from
+    #                        the tier-major staged table (dst parity folded)
     lidx: jnp.ndarray     # (steps*G, 128) int32 window-local gather idx,
     #                        OR multi-hot masks (steps*G, 4, 128) int32
     #                        (bit j of word w, lane l = select window row
@@ -81,20 +84,26 @@ class FusedSegment:
     tile_of: jnp.ndarray  # (steps,) int32 out block index (scalar prefetch)
     val_hi: Optional[jnp.ndarray]  # (steps*G, 128) bf16 or None (rank-1)
     val_lo: Optional[jnp.ndarray]
-    n_steps: int
-    n_tiles: int
+    # chunks mode: tier-local take indices for the XLA staging phase
+    # (128-padded per run) + python tier boundaries
+    stage_take: Optional[jnp.ndarray] = None        # (S_table,) int32
+    stage_tier_ptr: Optional[tuple] = None          # (n_tiers+1,) python
+    n_steps: int = 0
+    n_tiles: int = 0
 
     def tree_flatten(self):
         return ((self.ctrl, self.scols, self.lidx, self.lrow, self.blk,
-                 self.tile_of, self.val_hi, self.val_lo),
-                (self.n_steps, self.n_tiles))
+                 self.tile_of, self.val_hi, self.val_lo, self.stage_take),
+                (self.stage_tier_ptr, self.n_steps, self.n_tiles))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (ctrl, scols, lidx, lrow, blk, tile_of, val_hi, val_lo) = children
-        n_steps, n_tiles = aux
+        (ctrl, scols, lidx, lrow, blk, tile_of, val_hi, val_lo,
+         stage_take) = children
+        stage_tier_ptr, n_steps, n_tiles = aux
         return cls(ctrl=ctrl, scols=scols, lidx=lidx, lrow=lrow, blk=blk,
                    tile_of=tile_of, val_hi=val_hi, val_lo=val_lo,
+                   stage_take=stage_take, stage_tier_ptr=stage_tier_ptr,
                    n_steps=n_steps, n_tiles=n_tiles)
 
 
@@ -109,6 +118,10 @@ class FusedPlan:
     R: int
     T: int
     multihot: bool                # lanes are (row, block) pairs with bitmasks
+    staging: str                  # "rows" (in-kernel row DMAs from X) or
+    #                               "chunks" (XLA tier-major staged table +
+    #                               128-row block DMAs)
+    stage_tier: int               # tier size for the chunks-mode XLA takes
     S_buf: int                    # staging buffer rows (per parity)
     DMAX: int                     # max staging rows per step
     n_staged: int                 # total cold staged rows (DMA volume)
@@ -117,17 +130,20 @@ class FusedPlan:
     def tree_flatten(self):
         children = (self.segments, self.hot_ids, self.row_scale,
                     self.col_scale)
-        aux = (self.shape, self.R, self.T, self.multihot, self.S_buf,
-               self.DMAX, self.n_staged, self.n_lanes)
+        aux = (self.shape, self.R, self.T, self.multihot, self.staging,
+               self.stage_tier, self.S_buf, self.DMAX, self.n_staged,
+               self.n_lanes)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         segments, hot_ids, row_scale, col_scale = children
-        shape, R, T, multihot, S_buf, DMAX, n_staged, n_lanes = aux
+        (shape, R, T, multihot, staging, stage_tier, S_buf, DMAX,
+         n_staged, n_lanes) = aux
         return cls(segments=tuple(segments), hot_ids=hot_ids,
                    row_scale=row_scale, col_scale=col_scale, shape=shape,
-                   R=R, T=T, multihot=multihot, S_buf=S_buf, DMAX=DMAX,
+                   R=R, T=T, multihot=multihot, staging=staging,
+                   stage_tier=stage_tier, S_buf=S_buf, DMAX=DMAX,
                    n_staged=n_staged, n_lanes=n_lanes)
 
     @property
@@ -230,6 +246,56 @@ def _lane_groups(win_pos, rows, vals, R):
             val.reshape(-1, _L), blk_of)
 
 
+def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int) -> np.ndarray:
+    """Positions of sorted cold columns in the tile's RUN-ALIGNED staged
+    space: each per-tier run starts on a 128-row boundary (chunks mode —
+    the staged table and the copy destinations stay block-aligned)."""
+    if uniq.shape[0] == 0:
+        return np.zeros(0, np.int64)
+    tiers = uniq // stage_tier
+    bnd = np.nonzero(np.diff(tiers))[0] + 1
+    starts = np.concatenate([[0], bnd])
+    lens = np.diff(np.concatenate([starts, [uniq.shape[0]]]))
+    alens = -(-lens // _L) * _L
+    base = np.zeros(lens.shape[0] + 1, np.int64)
+    np.cumsum(alens, out=base[1:])
+    runid = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    return base[runid] + (np.arange(uniq.shape[0], dtype=np.int64)
+                          - starts[runid])
+
+
+def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
+                        lo: int, hi: int):
+    """Take entries for aligned-space rows [lo, hi) of a tile: per
+    128-block tier ids (n_blocks,) and tier-LOCAL indices (n_blocks*128,)
+    (run pads repeat the run's first index)."""
+    if uniq.shape[0] == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    tiers = uniq // stage_tier
+    bnd = np.nonzero(np.diff(tiers))[0] + 1
+    starts = np.concatenate([[0], bnd])
+    lens = np.diff(np.concatenate([starts, [uniq.shape[0]]]))
+    alens = -(-lens // _L) * _L
+    base = np.zeros(lens.shape[0] + 1, np.int64)
+    np.cumsum(alens, out=base[1:])
+    total = int(base[-1])
+    runid = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
+    dst = base[runid] + (np.arange(uniq.shape[0], dtype=np.int64)
+                         - starts[runid])
+    local = (uniq - tiers * stage_tier).astype(np.int32)
+    # fill the aligned space: pads repeat the run head
+    head = local[starts]
+    filled = np.repeat(head, alens)
+    filled[dst] = local
+    tier_of_row = np.repeat(tiers[starts], alens)
+    lo_c, hi_c = lo, min(hi, total)
+    if lo_c >= hi_c:
+        return np.zeros(0, np.int64), np.zeros(0, np.int32)
+    take_idx = filled[lo_c:hi_c]
+    take_tier = tier_of_row[lo_c:hi_c:_L]  # per-block (runs are aligned)
+    return take_tier.astype(np.int64), take_idx
+
+
 def choose_hot(csr: CSR, R: int, hot_budget: int, min_run: int) -> np.ndarray:
     """Pick hot columns: sort by tile-touch count, keep 128-blocks while the
     average lanes-per-tile-per-block stays >= min_run (dense one-hot runs).
@@ -282,8 +348,19 @@ def build_fused_plan(
     rank1: Optional[bool] = None,
     dma_wave: int = 64,
     s_cap: int = S_CAP,
+    staging: str = "rows",
+    stage_tier: int = 32768,
 ) -> FusedPlan:
-    """Host-side fused-engine plan build (numpy; native fast path TBD)."""
+    """Host-side fused-engine plan build (numpy; native fast path TBD).
+
+    ``staging="rows"``: the kernel row-DMAs each staged column straight
+    from X (per-row scalar-core cost). ``staging="chunks"``: an XLA phase
+    gathers the staged rows per 32K-row tier (the measured take fast
+    path) into a tier-major packed hi/lo table, and the kernel copies
+    128-row BLOCKS from it — two orders of magnitude fewer scalar DMA
+    ops, at the price of one serialized take pass per segment."""
+    if staging not in ("rows", "chunks"):
+        raise ValueError(f"staging must be rows|chunks, got {staging!r}")
     n, m = csr.shape
     G = T // _L
     indptr = np.asarray(csr.indptr, dtype=np.int64)
@@ -332,8 +409,14 @@ def build_fused_plan(
             cold_mask = hr_u < 0
             uniq = uniq_t[cold_mask]
             # window position per unique entry: hot rank or H + cold pos
-            cold_pos = np.cumsum(cold_mask) - 1
-            upos = np.where(cold_mask, H + cold_pos, hr_u)
+            if staging == "chunks":
+                cpos = _aligned_cold_positions(uniq, stage_tier)
+                upos = np.full(uniq_t.shape[0], 0, np.int64)
+                upos[cold_mask] = H + cpos
+                upos[~cold_mask] = hr_u[~cold_mask]
+            else:
+                cold_pos = np.cumsum(cold_mask) - 1
+                upos = np.where(cold_mask, H + cold_pos, hr_u)
             win_pos = upos[inv_t]
             order = np.argsort(win_pos, kind="stable")
         else:
@@ -350,7 +433,11 @@ def build_fused_plan(
             uniq, inv = np.unique(c_cold, return_inverse=True)
             win_pos = np.empty(c.shape[0], dtype=np.int64)
             win_pos[is_hot] = hr[is_hot]
-            win_pos[~is_hot] = H + inv
+            if staging == "chunks":
+                cpos = _aligned_cold_positions(uniq, stage_tier)
+                win_pos[~is_hot] = H + cpos[inv]
+            else:
+                win_pos[~is_hot] = H + inv
             order = np.argsort(win_pos, kind="stable")
         wp = win_pos[order]
         rr = r[order]
@@ -392,17 +479,28 @@ def build_fused_plan(
                 lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
                 lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
                 bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
-            # pad the staged list to a 128 multiple (col 0 repeats) so
-            # every one-hot window row is freshly DMA'd — unwritten
-            # scratch rows are never read (garbage/NaN x 0 is NaN)
-            pad_s = -uniq_p.shape[0] % _L
-            if pad_s:
-                uniq_p = np.concatenate(
-                    [uniq_p, np.zeros(pad_s, uniq_p.dtype)])
+            if staging == "chunks":
+                # staged entries live in the run-ALIGNED space: emit the
+                # padded tier-local take indices for this piece instead
+                # of raw column ids (pads repeat the run head — valid
+                # data, never selected by the one-hot masks)
+                take_t, take_idx = _piece_take_entries(
+                    uniq, stage_tier, piece * s_cap, (piece + 1) * s_cap)
+                uniq_p = (take_t, take_idx)  # per-128-block tier + idx
+                staged_rows = take_idx.shape[0]
+            else:
+                # pad the staged list to a 128 multiple (col 0 repeats)
+                # so every one-hot window row is freshly DMA'd —
+                # unwritten scratch rows are never read (NaN x 0 is NaN)
+                pad_s = -uniq_p.shape[0] % _L
+                if pad_s:
+                    uniq_p = np.concatenate(
+                        [uniq_p, np.zeros(pad_s, uniq_p.dtype)])
+                staged_rows = uniq_p.shape[0]
             tiles_meta.append((uniq_p, li, lr, lv, bo))
             out_of.append(t)
             first_piece.append(piece == 0)
-            n_staged += uniq_p.shape[0]
+            n_staged += staged_rows
             n_lanes += li.shape[0] * _L
 
     # --- staging buffer size + per-step DMA quota -------------------------
@@ -410,11 +508,19 @@ def build_fused_plan(
     # stage the NEXT tile under the static-unroll cap (power-law tiles
     # with few lanes but a heavy successor get padded idle steps)
     n_meta = len(tiles_meta)
+
+    def staged_of(t):
+        u = tiles_meta[t][0]
+        return u[1].shape[0] if isinstance(u, tuple) else u.shape[0]
+
+    # chunks mode moves 128 rows per DMA: budget in DMA ops
+    dma_quantum = _L if staging == "chunks" else 1
+    dma_cap = 16 if staging == "chunks" else DMAX_CAP
     steps_of = []
     for t in range(n_meta):
         need_c = max(tiles_meta[t][1].shape[0] // G, 1)
-        nxt = tiles_meta[t + 1][0].shape[0] if t + 1 < n_meta else 0
-        need_s = -(-nxt // DMAX_CAP)
+        nxt = staged_of(t + 1) if t + 1 < n_meta else 0
+        need_s = -(-(nxt // dma_quantum) // dma_cap)
         steps_of.append(max(need_c, need_s, 1))
     # pad lane arrays of tiles whose step count grew
     for t in range(n_meta):
@@ -429,23 +535,25 @@ def build_fused_plan(
             bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
             tiles_meta[t] = (uniq, li, lr, lv, bo)
             n_lanes += pad_g * _L
-    S_buf = max(max(tm[0].shape[0] for tm in tiles_meta), _L)
+    S_buf = max(max(staged_of(t) for t in range(n_meta)), _L)
     assert S_buf <= s_cap + _L, (S_buf, s_cap)
     S_buf += -S_buf % 2048 if S_buf > 2048 else -S_buf % _L
     # (2048 = the kernel's hi/lo split chunk; keep chunks in bounds)
     # DMAX: tile t+1's staged rows spread over tile t's steps (tile 0 over
     # a prologue sized like its own step count)
-    DMAX = dma_wave
+    DMAX = dma_wave if staging == "rows" else 1
     for t in range(n_meta):
         # a tile is staged over the PREVIOUS tile's steps, except when it
         # opens a segment (its own prologue, length steps_of[t]) — any
         # tile can open a segment, so budget with the minimum of both
         budget_steps = min(steps_of[t - 1], steps_of[t]) if t \
             else steps_of[0]
-        need = -(-tiles_meta[t][0].shape[0] // budget_steps)
-        need += -need % dma_wave  # fill_staging rounds per-step counts up
+        need = -(-(staged_of(t) // dma_quantum) // budget_steps)
+        if staging == "rows":
+            need += -need % dma_wave  # per-step counts round to waves
         DMAX = max(DMAX, need)
-    DMAX += -DMAX % dma_wave
+    if staging == "rows":
+        DMAX += -DMAX % dma_wave
 
     # --- emit segments (cut only at real-tile boundaries) -----------------
     segments = []
@@ -460,7 +568,8 @@ def build_fused_plan(
             total += steps_of[seg_tiles[-1]]
         segments.append(
             _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
-                          first_piece, R, T, G, S_buf, DMAX, use_rank1))
+                          first_piece, R, T, G, S_buf, DMAX, use_rank1,
+                          staging=staging, stage_tier=stage_tier))
         seg_start = seg_tiles[-1] + 1
 
     # leaves stay NUMPY (lazy device transfer; a remotely-tunneled chip
@@ -472,14 +581,48 @@ def build_fused_plan(
         row_scale=(row_scale.astype(np.float32) if use_rank1 else None),
         col_scale=(col_scale.astype(np.float32) if use_rank1 else None),
         shape=csr.shape,
-        R=R, T=T, multihot=use_rank1, S_buf=int(S_buf), DMAX=int(DMAX),
+        R=R, T=T, multihot=use_rank1, staging=staging,
+        stage_tier=stage_tier, S_buf=int(S_buf), DMAX=int(DMAX),
         n_staged=int(n_staged), n_lanes=int(n_lanes),
     )
 
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
-                  R, T, G, S_buf, DMAX, rank1):  # noqa: C901
+                  R, T, G, S_buf, DMAX, rank1,
+                  staging="rows", stage_tier=32768):  # noqa: C901
     multihot = rank1
+    chunks = staging == "chunks"
+    S_blocks = S_buf // _L
+
+    if chunks:
+        # tier-major take table: per tier, per segment tile, its blocks;
+        # src_of[j] maps tile j's local block -> table block
+        n_tiers_tot = 0
+        for t in seg_tiles:
+            tt = tiles_meta[t][0][0]
+            if tt.shape[0]:
+                n_tiers_tot = max(n_tiers_tot, int(tt.max()) + 1)
+        per_tier_idx = [[] for _ in range(n_tiers_tot)]
+        per_tier_src = {}
+        for j, t in enumerate(seg_tiles):
+            take_tier, take_idx = tiles_meta[t][0]
+            src_map = np.zeros(take_tier.shape[0], np.int64)
+            per_tier_src[j] = src_map
+            for b in range(take_tier.shape[0]):
+                per_tier_idx[int(take_tier[b])].append(
+                    (j, b, take_idx[b * _L:(b + 1) * _L]))
+        table_blk = 0
+        tier_ptr = [0]
+        take_list = []
+        for tier in range(n_tiers_tot):
+            for (j, b, idx) in per_tier_idx[tier]:
+                per_tier_src[j][b] = table_blk
+                take_list.append(idx)
+                table_blk += 1
+            tier_ptr.append(table_blk * _L)
+        stage_take = (np.concatenate(take_list).astype(np.int32)
+                      if take_list else np.zeros(0, np.int32))
+        stage_tier_ptr = tuple(tier_ptr)
     """Lay out one segment's step stream: a prologue staging the first
     tile, then per tile: compute steps that also stage the NEXT tile."""
     first = seg_tiles[0]
@@ -487,7 +630,8 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     n_steps = prologue + sum(steps_of[t] for t in seg_tiles)
 
     ctrl = np.zeros((n_steps, 1, 16), np.int32)
-    scols = np.zeros((n_steps, DMAX), np.int32)
+    scols = (np.zeros((n_steps, 2, DMAX), np.int32) if chunks
+             else np.zeros((n_steps, DMAX), np.int32))
     lidx = (np.zeros((n_steps * G, 4, _L), np.int32) if multihot
             else np.zeros((n_steps * G, _L), np.int32))
     lrow = np.full((n_steps * G, _L), R, np.int32)
@@ -496,6 +640,23 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     lval = None if rank1 else np.zeros((n_steps * G, _L), np.float32)
 
     def fill_staging(tile, step_lo, step_hi, parity):
+        if chunks:
+            # spread the tile's 128-row block copies over the window
+            j = seg_tiles.index(tile)
+            src = per_tier_src[j]
+            n_blk = src.shape[0]
+            nsteps = step_hi - step_lo
+            per = -(-n_blk // nsteps) if n_blk else 0
+            pos = 0
+            for s in range(step_lo, step_hi):
+                cnt = max(min(per, n_blk - pos), 0)
+                if cnt:
+                    scols[s, 0, :cnt] = src[pos:pos + cnt]
+                    scols[s, 1, :cnt] = (parity * S_blocks
+                                         + np.arange(pos, pos + cnt))
+                ctrl[s, 0, 3] = cnt
+                pos += cnt
+            return
         # per-step counts are rounded to DMA-wave multiples (64) so the
         # kernel predicates per WAVE, not per DMA (scalar-core cost);
         # chunk tails re-copy the chunk's first rows (harmless rewrites)
@@ -528,7 +689,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
         ctrl[step:step + ns, 0, 0] = out_of[t] - out_base
         ctrl[step, 0, 1] = 1  # first step of a (virtual) tile: split
         ctrl[step, 0, 9] = 1 if first_piece[t] else 0  # zero output
-        ctrl[step, 0, 8] = uniq.shape[0]
+        ctrl[step, 0, 8] = (0 if chunks else uniq.shape[0])
         ctrl[step:step + ns, 0, 5] = (j % 2) * S_buf
         tile_of[step:step + ns] = out_of[t] - out_base
         lidx[step * G:(step + ns) * G] = li
@@ -552,6 +713,21 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
             jnp.asarray(lval - val_hi.astype(np.float32)
                         ).astype(jnp.bfloat16))
 
+    if chunks:
+        return FusedSegment(
+            ctrl=ctrl,
+            scols=scols,
+            lidx=lidx,
+            lrow=lrow,
+            blk=blk,
+            tile_of=tile_of,
+            val_hi=val_hi,
+            val_lo=val_lo,
+            stage_take=stage_take,
+            stage_tier_ptr=stage_tier_ptr,
+            n_steps=n_steps,
+            n_tiles=out_of[seg_tiles[-1]] - out_base + 1,
+        )
     return FusedSegment(
         ctrl=ctrl,
         scols=scols.reshape(n_steps, 8, DMAX // 8),

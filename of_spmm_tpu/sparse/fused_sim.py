@@ -35,25 +35,49 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
     hot_hilo = _hilo(hot) if plan.n_hot else np.zeros((0, 2 * d), np.float32)
     H_blocks = plan.n_hot // _L
 
+    chunks = plan.staging == "chunks"
     out_tiles = []
     for seg in plan.segments:
         ctrl = np.asarray(seg.ctrl)
-        scols = np.asarray(seg.scols).reshape(seg.n_steps, -1)
+        if chunks:
+            chunk_arr = np.asarray(seg.scols)       # (steps, 2, CMAX)
+            # XLA staging phase: per-tier takes -> tier-major hilo table
+            TS = plan.stage_tier
+            ptr = seg.stage_tier_ptr
+            take = np.asarray(seg.stage_take)
+            parts = []
+            for t in range(len(ptr) - 1):
+                if ptr[t + 1] == ptr[t]:
+                    continue
+                xt = xs[t * TS:min((t + 1) * TS, m)]
+                idx = np.minimum(take[ptr[t]:ptr[t + 1]],
+                                 xt.shape[0] - 1)
+                parts.append(xt[idx])
+            table = (_hilo(np.concatenate(parts))
+                     if parts else np.zeros((_L, 2 * d), np.float32))
+        else:
+            scols = np.asarray(seg.scols).reshape(seg.n_steps, -1)
         lidx = np.asarray(seg.lidx)
         lrow = np.asarray(seg.lrow)
         blk = np.asarray(seg.blk)
         stage = np.zeros((2 * plan.S_buf, d), np.float32)
-        hilo = np.zeros((plan.S_buf, 2 * d), np.float32)
+        hilo = np.zeros((2 * plan.S_buf, 2 * d), np.float32)
         out = np.zeros((seg.n_tiles * R, d), np.float32)
         for i in range(seg.n_steps):
             tile, first, base, cnt, _, split_base = ctrl[i, 0, :6]
             zero_out = ctrl[i, 0, 9]
             if cnt:
-                stage[base:base + cnt] = xs[scols[i, :cnt]]
+                if chunks:
+                    for k in range(cnt):
+                        sb, db = chunk_arr[i, 0, k], chunk_arr[i, 1, k]
+                        hilo[db * _L:(db + 1) * _L] = \
+                            table[sb * _L:(sb + 1) * _L]
+                else:
+                    stage[base:base + cnt] = xs[scols[i, :cnt]]
             if tile >= 0 and first and zero_out:
                 out[tile * R:(tile + 1) * R] = 0.0
-            if tile >= 0 and first:
-                hilo[:] = _hilo(
+            if tile >= 0 and first and not chunks:
+                hilo[:plan.S_buf] = _hilo(
                     stage[split_base:split_base + plan.S_buf])
             if tile >= 0:
                 for g in range(G):
@@ -62,6 +86,8 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
                         win = hot_hilo[b * _L:(b + 1) * _L]
                     else:
                         sb = b - H_blocks
+                        if chunks:
+                            sb += split_base // _L  # read-parity region
                         win = hilo[sb * _L:(sb + 1) * _L]
                     rows = lrow[i * G + g]
                     if plan.multihot:

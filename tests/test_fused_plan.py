@@ -237,3 +237,48 @@ def test_fused_gcn_train_step():
     assert np.isfinite(float(loss))
     assert all(np.isfinite(np.asarray(g)).all()
                for g in jax.tree_util.tree_leaves(grads))
+
+
+@pytest.mark.parametrize("rank1", [True, False])
+def test_fused_chunks_staging(rank1):
+    """staging="chunks": XLA tier-major staged table + 128-row block
+    copies — sim and kernel must both match the dense oracle."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+    dense, csr = _graph(900, 900, 0.02, rank1=rank1, seed=41, skew=True)
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=256,
+                            hot_min_run=1, staging="chunks",
+                            stage_tier=256)
+    assert plan.staging == "chunks"
+    x = np.random.default_rng(9).standard_normal((900, 16)).astype(
+        np.float32)
+    want = dense @ x
+    got_sim = simulate(plan, x)
+    np.testing.assert_allclose(got_sim, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+    got_k = np.asarray(spmm_fused(plan, jnp.asarray(x)))
+    np.testing.assert_allclose(got_k, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_fused_chunks_with_virtual_tiles():
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+    rng = np.random.default_rng(43)
+    n = 512
+    dense = (rng.random((n, n)) < 0.02).astype(np.float32)
+    dense[:128, :] = (rng.random((128, n)) < 0.5).astype(np.float32)
+    csr = CSR.from_dense(dense)
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=0,
+                            staging="chunks", stage_tier=128, s_cap=256)
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    want = dense @ x
+    np.testing.assert_allclose(simulate(plan, x), want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+    got_k = np.asarray(spmm_fused(plan, jnp.asarray(x)))
+    np.testing.assert_allclose(got_k, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
