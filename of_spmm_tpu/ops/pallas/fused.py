@@ -97,12 +97,12 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             for k in range(DMAX):
                 @pl.when(k < cnt)
                 def _(k=k):
-                    src_blk = scols_ref[0, 0, k]
-                    dst_blk = scols_ref[0, 1, k]
+                    src = pl.multiple_of(scols_ref[0, 0, k] * _L, _L)
+                    dst = pl.multiple_of(
+                        H_blocks * _L + scols_ref[0, 1, k] * _L, _L)
                     pltpu.make_async_copy(
-                        table_ref.at[pl.ds(src_blk * _L, _L), :],
-                        hilo.at[pl.ds(H_blocks * _L + dst_blk * _L, _L),
-                                :],
+                        table_ref.at[pl.ds(src, _L), :],
+                        hilo.at[pl.ds(dst, _L), :],
                         sem.at[(k % HALF) + slot_issue]).start()
 
                 @pl.when(jnp.logical_and(i > 0, k < prev_cnt))
@@ -194,7 +194,9 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                 # cold windows live in the double-buffered staged region:
                 # add the read-parity row offset (ctrl[5]); hot windows
                 # (blk < H_blocks) stay at the head
-                woff = blk * _L + jnp.where(blk >= H_blocks, split_base, 0)
+                woff = pl.multiple_of(
+                    blk * _L + jnp.where(blk >= H_blocks, split_base, 0),
+                    _L)
                 win = hilo[pl.ds(woff, _L), :]
             else:
                 win = hilo[pl.ds(blk * _L, _L), :]

@@ -296,23 +296,27 @@ def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
     return take_tier.astype(np.int64), take_idx
 
 
-def choose_hot(csr: CSR, R: int, hot_budget: int, min_run: int) -> np.ndarray:
+def choose_hot(csr: CSR, R: int, hot_budget: int, min_run: int,
+               touch: Optional[np.ndarray] = None) -> np.ndarray:
     """Pick hot columns: sort by tile-touch count, keep 128-blocks while the
     average lanes-per-tile-per-block stays >= min_run (dense one-hot runs).
 
     Returns global col ids (hot rank order). The tile-touch count (how many
     R-row tiles reference the column) is exactly the staging volume the
-    column would otherwise cost."""
+    column would otherwise cost; pass it precomputed (e.g. a bincount of
+    the native pass-1 per-tile unique lists) to skip the 10^8-key unique.
+    """
     n, m = csr.shape
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     cols = np.asarray(csr.cols, dtype=np.int64)
     n_tiles = max(-(-n // R), 1)
-    # tile-touch count per column: unique (tile, col) pairs
-    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    tiles = rows // R
-    key = tiles * m + cols
-    uniq_key = np.unique(key)
-    touch = np.bincount((uniq_key % m).astype(np.int64), minlength=m)
+    if touch is None:
+        # tile-touch count per column: unique (tile, col) pairs
+        rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        tiles = rows // R
+        key = tiles * m + cols
+        uniq_key = np.unique(key)
+        touch = np.bincount((uniq_key % m).astype(np.int64), minlength=m)
     # in-reference count per column (lanes a hot block would serve)
     refs = np.bincount(cols, minlength=m)
     order = np.argsort(-touch, kind="stable")
@@ -376,20 +380,22 @@ def build_fused_plan(
     if use_rank1:
         row_scale, col_scale = factors
 
-    hot_ids = choose_hot(csr, R, hot_budget, hot_min_run)
+    # per-tile column sort + unique runs in the native planner when
+    # available (csrc/planner.cpp expansion_pass1, OpenMP over tiles);
+    # numpy per-tile fallback otherwise. Runs BEFORE hot selection so the
+    # tile-touch counts come from its unique lists (no 10^8-key unique).
+    from of_spmm_tpu import native
+
+    nat = native.expansion_pass1(indptr, cols_all,
+                                 vals_all.astype(np.float32), R)
+    touch = (np.bincount(nat[3][:nat[4][-1]].astype(np.int64), minlength=m)
+             if nat is not None else None)
+    hot_ids = choose_hot(csr, R, hot_budget, hot_min_run, touch=touch)
     H = hot_ids.shape[0]
     hot_rank = np.full(m, -1, dtype=np.int64)
     hot_rank[hot_ids] = np.arange(H, dtype=np.int64)
     n_hot_blocks = H // _L
 
-    # --- per tile: cold staging list + lane groups -----------------------
-    # per-tile column sort + unique runs in the native planner when
-    # available (csrc/planner.cpp expansion_pass1, OpenMP over tiles);
-    # numpy per-tile fallback otherwise.
-    from of_spmm_tpu import native
-
-    nat = native.expansion_pass1(indptr, cols_all,
-                                 vals_all.astype(np.float32), R)
     tiles_meta = []   # (stage_cols, lidx, lrow, val, blk_of) per VIRTUAL tile
     out_of = []       # output block (real tile) per meta entry
     first_piece = []  # True on the first virtual tile of each output block
