@@ -187,7 +187,9 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
     def _():
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, _L), 0)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
-        acc = None
+        # two independent accumulation chains (even/odd groups) so the
+        # VPU adds between groups don't serialize the MXU pipeline
+        acc0 = acc1 = None
         for g in range(G):
             blk = blk_ref[0, 0, g]
             if chunks:
@@ -244,7 +246,11 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                                          preferred_element_type=jnp.float32)
                 # vl*ghi lands in the hi half; halves are summed below
                 s = s + jnp.pad(s2, ((0, 0), (0, _L)))
-            acc = s if acc is None else acc + s
+            if g % 2 == 0:
+                acc0 = s if acc0 is None else acc0 + s
+            else:
+                acc1 = s if acc1 is None else acc1 + s
+        acc = acc0 if acc1 is None else acc0 + acc1
         o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
 
 
