@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from of_spmm_tpu.sparse.fused import _L, FusedPlan, FusedSegment
+from of_spmm_tpu.sparse.fused import _CQ, _L, FusedPlan, FusedSegment
 
 _DN = (((1,), (0,)), ((), ()))
 _W = 64      # DMA wave width
@@ -97,12 +97,12 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             for k in range(DMAX):
                 @pl.when(k < cnt)
                 def _(k=k):
-                    src = pl.multiple_of(scols_ref[0, 0, k] * _L, _L)
+                    src = pl.multiple_of(scols_ref[0, 0, k] * _CQ, _CQ)
                     dst = pl.multiple_of(
-                        H_blocks * _L + scols_ref[0, 1, k] * _L, _L)
+                        H_blocks * _L + scols_ref[0, 1, k] * _CQ, _CQ)
                     pltpu.make_async_copy(
-                        table_ref.at[pl.ds(src, _L), :],
-                        hilo.at[pl.ds(dst, _L), :],
+                        table_ref.at[pl.ds(src, _CQ), :],
+                        hilo.at[pl.ds(dst, _CQ), :],
                         sem.at[(k % HALF) + slot_issue]).start()
 
                 @pl.when(jnp.logical_and(i > 0, k < prev_cnt))
@@ -110,10 +110,10 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                     # wait: shape-identical reconstruction; prev dst from
                     # the PREVIOUS step's chunk list is not readable here,
                     # so waits use a dst-shape proxy at block 0 of the
-                    # other parity region — byte counts match (128, 256).
+                    # other parity region — byte counts match (_CQ, 256).
                     pltpu.make_async_copy(
-                        table_ref.at[pl.ds(0, _L), :],
-                        hilo.at[pl.ds(H_blocks * _L, _L), :],
+                        table_ref.at[pl.ds(0, _CQ), :],
+                        hilo.at[pl.ds(H_blocks * _L, _CQ), :],
                         sem.at[(k % HALF) + slot_wait]).wait()
 
         @pl.when(i % 2 == 0)

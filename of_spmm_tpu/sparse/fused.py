@@ -246,9 +246,14 @@ def _lane_groups(win_pos, rows, vals, R):
             val.reshape(-1, _L), blk_of)
 
 
+_CQ = 32  # chunk quantum: run alignment + copy granularity (bf16 tile
+#           height x2; thin cold runs would pad ~2x at 128 on power-law
+#           graphs, ~15% at 32)
+
+
 def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int) -> np.ndarray:
     """Positions of sorted cold columns in the tile's RUN-ALIGNED staged
-    space: each per-tier run starts on a 128-row boundary (chunks mode —
+    space: each per-tier run starts on a _CQ-row boundary (chunks mode —
     the staged table and the copy destinations stay block-aligned)."""
     if uniq.shape[0] == 0:
         return np.zeros(0, np.int64)
@@ -256,7 +261,7 @@ def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int) -> np.ndarray:
     bnd = np.nonzero(np.diff(tiers))[0] + 1
     starts = np.concatenate([[0], bnd])
     lens = np.diff(np.concatenate([starts, [uniq.shape[0]]]))
-    alens = -(-lens // _L) * _L
+    alens = -(-lens // _CQ) * _CQ
     base = np.zeros(lens.shape[0] + 1, np.int64)
     np.cumsum(alens, out=base[1:])
     runid = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
@@ -267,7 +272,7 @@ def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int) -> np.ndarray:
 def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
                         lo: int, hi: int):
     """Take entries for aligned-space rows [lo, hi) of a tile: per
-    128-block tier ids (n_blocks,) and tier-LOCAL indices (n_blocks*128,)
+    _CQ-block tier ids (n_blocks,) and tier-LOCAL indices (n_blocks*_CQ,)
     (run pads repeat the run's first index)."""
     if uniq.shape[0] == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int32)
@@ -275,7 +280,7 @@ def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
     bnd = np.nonzero(np.diff(tiers))[0] + 1
     starts = np.concatenate([[0], bnd])
     lens = np.diff(np.concatenate([starts, [uniq.shape[0]]]))
-    alens = -(-lens // _L) * _L
+    alens = -(-lens // _CQ) * _CQ
     base = np.zeros(lens.shape[0] + 1, np.int64)
     np.cumsum(alens, out=base[1:])
     total = int(base[-1])
@@ -292,7 +297,15 @@ def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
     if lo_c >= hi_c:
         return np.zeros(0, np.int64), np.zeros(0, np.int32)
     take_idx = filled[lo_c:hi_c]
-    take_tier = tier_of_row[lo_c:hi_c:_L]  # per-block (runs are aligned)
+    take_tier = tier_of_row[lo_c:hi_c:_CQ]  # per-block (runs are aligned)
+    # pad the piece to a 128-row multiple (repeat the first block) so the
+    # kernel's 128-row one-hot windows never read unwritten scratch
+    pad_rows = -take_idx.shape[0] % _L
+    if pad_rows:
+        nb = pad_rows // _CQ
+        take_idx = np.concatenate([take_idx, np.tile(take_idx[:_CQ], nb)])
+        take_tier = np.concatenate(
+            [take_tier, np.repeat(take_tier[:1], nb)])
     return take_tier.astype(np.int64), take_idx
 
 
@@ -519,9 +532,9 @@ def build_fused_plan(
         u = tiles_meta[t][0]
         return u[1].shape[0] if isinstance(u, tuple) else u.shape[0]
 
-    # chunks mode moves 128 rows per DMA: budget in DMA ops
-    dma_quantum = _L if staging == "chunks" else 1
-    dma_cap = 16 if staging == "chunks" else DMAX_CAP
+    # chunks mode moves _CQ rows per DMA: budget in DMA ops
+    dma_quantum = _CQ if staging == "chunks" else 1
+    dma_cap = 32 if staging == "chunks" else DMAX_CAP
     steps_of = []
     for t in range(n_meta):
         need_c = max(tiles_meta[t][1].shape[0] // G, 1)
@@ -598,7 +611,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
                   staging="rows", stage_tier=32768):  # noqa: C901
     multihot = rank1
     chunks = staging == "chunks"
-    S_blocks = S_buf // _L
+    S_blocks = S_buf // _CQ if chunks else S_buf // _L
 
     if chunks:
         # tier-major take table: per tier, per segment tile, its blocks;
@@ -616,7 +629,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
             per_tier_src[j] = src_map
             for b in range(take_tier.shape[0]):
                 per_tier_idx[int(take_tier[b])].append(
-                    (j, b, take_idx[b * _L:(b + 1) * _L]))
+                    (j, b, take_idx[b * _CQ:(b + 1) * _CQ]))
         table_blk = 0
         tier_ptr = [0]
         take_list = []
@@ -625,7 +638,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
                 per_tier_src[j][b] = table_blk
                 take_list.append(idx)
                 table_blk += 1
-            tier_ptr.append(table_blk * _L)
+            tier_ptr.append(table_blk * _CQ)
         stage_take = (np.concatenate(take_list).astype(np.int32)
                       if take_list else np.zeros(0, np.int32))
         stage_tier_ptr = tuple(tier_ptr)

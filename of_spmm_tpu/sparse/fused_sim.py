@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from of_spmm_tpu.sparse.fused import _L, FusedPlan
+from of_spmm_tpu.sparse.fused import _CQ, _L, FusedPlan
 
 
 def _hilo(a: np.ndarray) -> np.ndarray:
@@ -70,8 +70,8 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
                 if chunks:
                     for k in range(cnt):
                         sb, db = chunk_arr[i, 0, k], chunk_arr[i, 1, k]
-                        hilo[db * _L:(db + 1) * _L] = \
-                            table[sb * _L:(sb + 1) * _L]
+                        hilo[db * _CQ:(db + 1) * _CQ] = \
+                            table[sb * _CQ:(sb + 1) * _CQ]
                 else:
                     stage[base:base + cnt] = xs[scols[i, :cnt]]
             if tile >= 0 and first and zero_out:
