@@ -254,18 +254,25 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
 
 
-def _stage_table(seg: FusedSegment, plan: FusedPlan,
-                 xs: jnp.ndarray) -> jnp.ndarray:
+def _stage_table(seg: FusedSegment, plan: FusedPlan, xs: jnp.ndarray,
+                 dep=None) -> jnp.ndarray:
     """Chunks-mode XLA staging phase: per-tier takes (the measured v5e
     fast path needs tables <= 32K rows) into the tier-major packed
-    [hi|lo] bf16 table the kernel block-copies from."""
+    [hi|lo] bf16 table the kernel block-copies from.
+
+    ``dep`` (a scalar from the previous segment's output) threads a
+    zero-valued data dependency through the take indices so XLA cannot
+    schedule every segment's multi-GB table to be live at once."""
     ptr = seg.stage_tier_ptr
     TS = plan.stage_tier
+    take = seg.stage_take
+    if dep is not None:
+        take = take + (dep * 0.0).astype(jnp.int32)
     outs = []
     for t in range(len(ptr) - 1):
         if ptr[t + 1] == ptr[t]:
             continue
-        idx = jax.lax.slice_in_dim(seg.stage_take, ptr[t], ptr[t + 1])
+        idx = jax.lax.slice_in_dim(take, ptr[t], ptr[t + 1])
         lo_r = min(t * TS, xs.shape[0] - 1)
         hi_r = min((t + 1) * TS, xs.shape[0])
         xt = jax.lax.slice_in_dim(xs, lo_r, hi_r, axis=0)
@@ -279,7 +286,7 @@ def _stage_table(seg: FusedSegment, plan: FusedPlan,
 
 
 def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
-                  interpret: bool) -> jnp.ndarray:
+                  interpret: bool, dep=None) -> jnp.ndarray:
     R, T = plan.R, plan.T
     G = T // _L
     H_blocks = plan.n_hot // _L
@@ -323,7 +330,7 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
         pl.BlockSpec(memory_space=pl.ANY),        # staged table / xs (HBM)
     ]
     if chunks:
-        args += [hot_hilo, _stage_table(seg, plan, xs)]
+        args += [hot_hilo, _stage_table(seg, plan, xs, dep=dep)]
     else:
         args += [hot_hilo, xs]
 
@@ -368,10 +375,13 @@ def _spmm_fused_jit(plan: FusedPlan, x: jnp.ndarray,
         hot_hilo = jnp.concatenate([hi, lo], axis=1)
     else:
         hot_hilo = jnp.zeros((_L, 256), jnp.bfloat16)
-    outs = [
-        _segment_call(seg, plan, hot_hilo, xs, interpret)
-        for seg in plan.segments
-    ]
+    outs = []
+    dep = None
+    for seg in plan.segments:
+        out = _segment_call(seg, plan, hot_hilo, xs, interpret, dep=dep)
+        outs.append(out)
+        if plan.staging == "chunks":
+            dep = out[0, 0]  # serialize segments (bounds live tables)
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     out = out[: plan.shape[0]]
     if plan.row_scale is not None:
