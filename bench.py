@@ -61,7 +61,10 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         from of_spmm_tpu.sparse.fused import (
             DEFAULT_HOT_BUDGET, DEFAULT_R as FR, DEFAULT_T as FT)
 
-        ly_key = f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}-v10"
+        from of_spmm_tpu.sparse.fused import DEFAULT_SEG_STEPS
+
+        ly_key = (f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
+                  f"-chunks-ss{DEFAULT_SEG_STEPS}-v11")
     else:
         ly_key = f"|ly-{layout}" if layout != "auto" else ""
     op, nnz, shape = cached(

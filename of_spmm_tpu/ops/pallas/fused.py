@@ -48,7 +48,7 @@ _NSEM = 16   # semaphore ring (split by step parity)
 
 def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             *rest, R, T, G, S_buf, H_blocks, DMAX, rank1, multihot,
-            chunks, interpret):
+            chunks, window, interpret):
     if rank1:
         vh_ref = vl_ref = None
         rest2 = rest
@@ -94,17 +94,13 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         # double-buffered staged region of the window buffer — ~100x
         # fewer scalar DMA ops than per-row staging
         def chunk_block(slot_issue, slot_wait):
+            # ALL waits for the previous step run BEFORE any new start:
+            # semaphore slots are shared (k % HALF), and a counting
+            # semaphore cannot tell whose completion it saw — with waits
+            # first, the only pending copies on a slot are the previous
+            # step's, so a returned wait guarantees the region compute is
+            # about to read has landed.
             for k in range(DMAX):
-                @pl.when(k < cnt)
-                def _(k=k):
-                    src = pl.multiple_of(scols_ref[0, 0, k] * _CQ, _CQ)
-                    dst = pl.multiple_of(
-                        H_blocks * _L + scols_ref[0, 1, k] * _CQ, _CQ)
-                    pltpu.make_async_copy(
-                        table_ref.at[pl.ds(src, _CQ), :],
-                        hilo.at[pl.ds(dst, _CQ), :],
-                        sem.at[(k % HALF) + slot_issue]).start()
-
                 @pl.when(jnp.logical_and(i > 0, k < prev_cnt))
                 def _(k=k):
                     # wait: shape-identical reconstruction; prev dst from
@@ -115,6 +111,16 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                         table_ref.at[pl.ds(0, _CQ), :],
                         hilo.at[pl.ds(H_blocks * _L, _CQ), :],
                         sem.at[(k % HALF) + slot_wait]).wait()
+            for k in range(DMAX):
+                @pl.when(k < cnt)
+                def _(k=k):
+                    src = pl.multiple_of(scols_ref[0, 0, k] * _CQ, _CQ)
+                    dst = pl.multiple_of(
+                        H_blocks * _L + scols_ref[0, 1, k] * _CQ, _CQ)
+                    pltpu.make_async_copy(
+                        table_ref.at[pl.ds(src, _CQ), :],
+                        hilo.at[pl.ds(dst, _CQ), :],
+                        sem.at[(k % HALF) + slot_issue]).start()
 
         @pl.when(i % 2 == 0)
         def _():
@@ -133,18 +139,20 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         NW = DMAX // _W
 
         def dma_block(slot_issue, slot_wait):
+            # waits first (see chunk_block): shared slots mean a wait can
+            # only be trusted when no same-step start is pending on it
             for w in range(NW):
-                @pl.when(w * _W < cnt)
-                def _(w=w):
-                    for j in range(_W):
-                        mkdma(w * _W + j, base, slot_issue).start()
-
                 @pl.when(jnp.logical_and(i > 0, w * _W < prev_cnt))
                 def _(w=w):
                     # wait reconstructs a shape-identical copy (src
                     # identity is irrelevant; prev dst base is plan-given)
                     for j in range(_W):
                         mkdma(w * _W + j, prev_base, slot_wait).wait()
+            for w in range(NW):
+                @pl.when(w * _W < cnt)
+                def _(w=w):
+                    for j in range(_W):
+                        mkdma(w * _W + j, base, slot_issue).start()
 
         @pl.when(i % 2 == 0)
         def _():
@@ -185,7 +193,12 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
     # sums accumulate as one expression.
     @pl.when(do_comp)
     def _():
-        row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, _L), 0)
+        # window mode: every lane in this step lands in ONE 128-row dst
+        # window (ctrl[10]); the scatter one-hot shrinks (R, T) -> (128,
+        # T) — a 4x MAC cut at R=512 — and the partial sum accumulates
+        # into the window's slice of the tile output.
+        RS = _L if window else R
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (RS, _L), 0)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
         # two independent accumulation chains (even/odd groups) so the
         # VPU adds between groups don't serialize the MXU pipeline
@@ -251,7 +264,12 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             else:
                 acc1 = s if acc1 is None else acc1 + s
         acc = acc0 if acc1 is None else acc0 + acc1
-        o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
+        if window:
+            off = pl.multiple_of(ctrl_ref[0, 0, 10] * _L, _L)
+            o_ref[pl.ds(off, _L), :] = (
+                o_ref[pl.ds(off, _L), :] + acc[:, :_L] + acc[:, _L:])
+        else:
+            o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
 
 
 def _stage_table(seg: FusedSegment, plan: FusedPlan, xs: jnp.ndarray,
@@ -297,7 +315,7 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
     kernel = functools.partial(
         _kernel, R=R, T=T, G=G, S_buf=plan.S_buf, H_blocks=H_blocks,
         DMAX=DMAX, rank1=rank1, multihot=plan.multihot, chunks=chunks,
-        interpret=interpret)
+        window=plan.window, interpret=interpret)
 
     def smem(shape):
         return pl.BlockSpec(shape, lambda i, t: (i, 0, 0),

@@ -46,7 +46,9 @@ DEFAULT_R = 512          # output rows per tile
 DEFAULT_T = 1024         # lanes per step (G = T/128 groups)
 DEFAULT_HOT_BUDGET = 16384   # max hot rows (x 512B hi|lo = 8 MB VMEM)
 DEFAULT_HOT_MIN_RUN = 32     # keep hot blocks while lanes/tile/block >= this
-DEFAULT_SEG_STEPS = 24576    # steps per pallas_call segment (SMEM prefetch)
+DEFAULT_SEG_STEPS = 8192     # steps per pallas_call segment (SMEM prefetch;
+                             # also bounds the staged-table working set in
+                             # chunks mode — 14 segments on ogbn-products)
 DMAX_CAP = 640               # max staging DMAs per step (static unroll bound)
 S_CAP = 32768                # max staged rows per (virtual) tile: bounds the
 #                              f32 staging scratch (2*S_CAP*512B = 32 MB) and
@@ -126,25 +128,33 @@ class FusedPlan:
     DMAX: int                     # max staging rows per step
     n_staged: int                 # total cold staged rows (DMA volume)
     n_lanes: int                  # total lanes incl. padding
+    window: bool = False          # steps are dst-window-homogeneous: the
+    #                               scatter one-hot is (128, T), not (R, T)
+
+    def __getattr__(self, name):
+        # plans pickled before the ``window`` field existed
+        if name == "window":
+            return False
+        raise AttributeError(name)
 
     def tree_flatten(self):
         children = (self.segments, self.hot_ids, self.row_scale,
                     self.col_scale)
         aux = (self.shape, self.R, self.T, self.multihot, self.staging,
                self.stage_tier, self.S_buf, self.DMAX, self.n_staged,
-               self.n_lanes)
+               self.n_lanes, self.window)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         segments, hot_ids, row_scale, col_scale = children
         (shape, R, T, multihot, staging, stage_tier, S_buf, DMAX,
-         n_staged, n_lanes) = aux
+         n_staged, n_lanes, window) = aux
         return cls(segments=tuple(segments), hot_ids=hot_ids,
                    row_scale=row_scale, col_scale=col_scale, shape=shape,
                    R=R, T=T, multihot=multihot, staging=staging,
                    stage_tier=stage_tier, S_buf=S_buf, DMAX=DMAX,
-                   n_staged=n_staged, n_lanes=n_lanes)
+                   n_staged=n_staged, n_lanes=n_lanes, window=window)
 
     @property
     def n_hot(self) -> int:
@@ -244,6 +254,52 @@ def _lane_groups(win_pos, rows, vals, R):
     blk_of = np.repeat(blk[starts].astype(np.int32), plens // _L)
     return (lidx.reshape(-1, _L), lrow.reshape(-1, _L),
             val.reshape(-1, _L), blk_of)
+
+
+def _build_groups(wp_p, rr_p, vv_p, use_rank1, R, G, window):
+    """Lane groups for one (virtual) tile, padded to a G multiple.
+
+    ``window=False``: groups in source-block order; dst rows span the
+    whole R-row tile (scatter one-hot is (R, T)).
+    ``window=True``: lanes are partitioned by DESTINATION 128-row window
+    first (dw = row // 128) and each partition is padded to a G multiple,
+    so every step's G groups share one dst window — the scatter one-hot
+    shrinks to (128, T), a 4x MAC cut at R=512. Returns a 5th per-group
+    array ``dwg`` (dst window of the group; 0 when window=False)."""
+    parts = []
+    if window:
+        dwp = rr_p // _L
+        splits = [(dw, dwp == dw) for dw in range(-(-R // _L))]
+    else:
+        splits = [(0, slice(None))]
+    for dw, sel in splits:
+        if window and not np.any(sel):
+            continue
+        rloc = (rr_p[sel] - dw * _L) if window else rr_p
+        sent = _L if window else R
+        if use_rank1:
+            li, lr, bo = _lane_groups_multihot(wp_p[sel], rloc, sent)
+            lv = np.zeros((li.shape[0], _L), np.float32)
+        else:
+            li, lr, lv, bo = _lane_groups(wp_p[sel], rloc,
+                                          vv_p[sel] if vv_p is not None
+                                          else None, sent)
+        pad_g = -li.shape[0] % G
+        if pad_g:
+            li = np.concatenate(
+                [li, np.zeros((pad_g,) + li.shape[1:], np.int32)])
+            lr = np.concatenate([lr, np.full((pad_g, _L), sent, np.int32)])
+            lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
+            bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
+        parts.append((li, lr, lv, bo,
+                      np.full(li.shape[0], dw, np.int32)))
+    if not parts or sum(p[0].shape[0] for p in parts) == 0:
+        shp = (G, 4, _L) if use_rank1 else (G, _L)
+        return (np.zeros(shp, np.int32),
+                np.full((G, _L), _L if window else R, np.int32),
+                np.zeros((G, _L), np.float32), np.zeros(G, np.int32),
+                np.zeros(G, np.int32))
+    return tuple(np.concatenate([p[k] for p in parts]) for k in range(5))
 
 
 _CQ = 32  # chunk quantum: run alignment + copy granularity (bf16 tile
@@ -365,8 +421,9 @@ def build_fused_plan(
     rank1: Optional[bool] = None,
     dma_wave: int = 64,
     s_cap: int = S_CAP,
-    staging: str = "rows",
+    staging: str = "chunks",
     stage_tier: int = 32768,
+    window: bool = False,
 ) -> FusedPlan:
     """Host-side fused-engine plan build (numpy; native fast path TBD).
 
@@ -384,6 +441,36 @@ def build_fused_plan(
     cols_all = np.asarray(csr.cols, dtype=np.int64)
     vals_all = np.asarray(csr.vals, dtype=np.float32)
     n_tiles = max(-(-n // R), 1)
+
+    # duplicate (row, col) entries cannot ride the multi-hot bitmask
+    # lanes (a bit has no multiplicity — bitwise_or silently drops the
+    # second copy). Coalesce them up front; the summed value then no
+    # longer factors as r_i*c_j, so rank-1 folding turns itself off and
+    # the explicit-value lanes carry the merged weight correctly.
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    key = rows_all * m + cols_all
+    if key.shape[0] and bool(np.all(key[1:] >= key[:-1])):
+        vals_s, ks = vals_all, key  # row-sorted cols: no sort needed
+    elif key.shape[0]:
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        vals_s = vals_all[order]
+    else:
+        vals_s, ks = vals_all, key
+    if ks.shape[0] and int((ks[1:] == ks[:-1]).sum()):
+        keep = np.concatenate([[True], ks[1:] != ks[:-1]])
+        seg_id = np.cumsum(keep) - 1
+        vals_c = np.zeros(int(seg_id[-1]) + 1, np.float32)
+        np.add.at(vals_c, seg_id, vals_s)
+        ku = ks[keep]
+        rows_u = ku // m
+        cols_all = ku - rows_u * m
+        vals_all = vals_c
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(np.bincount(rows_u, minlength=n), out=indptr[1:])
+        csr = CSR(indptr=indptr, cols=cols_all.astype(np.int32),
+                  vals=vals_all, shape=csr.shape)
+    del rows_all, key, ks, vals_s
 
     factors = factor_rank1(csr) if rank1 in (None, True) else None
     if rank1 is True and factors is None:
@@ -481,23 +568,8 @@ def build_fused_plan(
                 rr_p = rr[sel]
                 vv_p = None if use_rank1 else vv[sel]
                 uniq_p = uniq[piece * s_cap:(piece + 1) * s_cap]
-            if use_rank1:
-                li, lr, bo = _lane_groups_multihot(wp_p, rr_p, R)
-                lv = np.zeros((li.shape[0], _L), np.float32)
-            else:
-                li, lr, lv, bo = _lane_groups(wp_p, rr_p, vv_p, R)
-            n_grp = li.shape[0]
-            pad_g = G if n_grp == 0 else (-n_grp % G)
-            if pad_g:
-                if use_rank1:
-                    li = np.concatenate(
-                        [li, np.zeros((pad_g, 4, _L), np.int32)])
-                else:
-                    li = np.concatenate(
-                        [li, np.zeros((pad_g, _L), np.int32)])
-                lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
-                lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
-                bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
+            li, lr, lv, bo, dwg = _build_groups(
+                wp_p, rr_p, vv_p, use_rank1, R, G, window)
             if staging == "chunks":
                 # staged entries live in the run-ALIGNED space: emit the
                 # padded tier-local take indices for this piece instead
@@ -516,7 +588,7 @@ def build_fused_plan(
                     uniq_p = np.concatenate(
                         [uniq_p, np.zeros(pad_s, uniq_p.dtype)])
                 staged_rows = uniq_p.shape[0]
-            tiles_meta.append((uniq_p, li, lr, lv, bo))
+            tiles_meta.append((uniq_p, li, lr, lv, bo, dwg))
             out_of.append(t)
             first_piece.append(piece == 0)
             n_staged += staged_rows
@@ -543,16 +615,18 @@ def build_fused_plan(
         steps_of.append(max(need_c, need_s, 1))
     # pad lane arrays of tiles whose step count grew
     for t in range(n_meta):
-        uniq, li, lr, lv, bo = tiles_meta[t]
+        uniq, li, lr, lv, bo, dwg = tiles_meta[t]
         want_g = steps_of[t] * G
         pad_g = want_g - li.shape[0]
         if pad_g > 0:
+            sent = _L if window else R
             li = np.concatenate(
                 [li, np.zeros((pad_g,) + li.shape[1:], np.int32)])
-            lr = np.concatenate([lr, np.full((pad_g, _L), R, np.int32)])
+            lr = np.concatenate([lr, np.full((pad_g, _L), sent, np.int32)])
             lv = np.concatenate([lv, np.zeros((pad_g, _L), np.float32)])
             bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
-            tiles_meta[t] = (uniq, li, lr, lv, bo)
+            dwg = np.concatenate([dwg, np.zeros(pad_g, np.int32)])
+            tiles_meta[t] = (uniq, li, lr, lv, bo, dwg)
             n_lanes += pad_g * _L
     S_buf = max(max(staged_of(t) for t in range(n_meta)), _L)
     assert S_buf <= s_cap + _L, (S_buf, s_cap)
@@ -588,7 +662,8 @@ def build_fused_plan(
         segments.append(
             _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
                           first_piece, R, T, G, S_buf, DMAX, use_rank1,
-                          staging=staging, stage_tier=stage_tier))
+                          staging=staging, stage_tier=stage_tier,
+                          window=window))
         seg_start = seg_tiles[-1] + 1
 
     # leaves stay NUMPY (lazy device transfer; a remotely-tunneled chip
@@ -602,13 +677,14 @@ def build_fused_plan(
         shape=csr.shape,
         R=R, T=T, multihot=use_rank1, staging=staging,
         stage_tier=stage_tier, S_buf=int(S_buf), DMAX=int(DMAX),
-        n_staged=int(n_staged), n_lanes=int(n_lanes),
+        n_staged=int(n_staged), n_lanes=int(n_lanes), window=window,
     )
 
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
                   R, T, G, S_buf, DMAX, rank1,
-                  staging="rows", stage_tier=32768):  # noqa: C901
+                  staging="rows", stage_tier=32768,
+                  window=False):  # noqa: C901
     multihot = rank1
     chunks = staging == "chunks"
     S_blocks = S_buf // _CQ if chunks else S_buf // _L
@@ -704,12 +780,16 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     step = prologue
     for j, t in enumerate(seg_tiles):
         ns = steps_of[t]
-        uniq, li, lr, lv, bo = tiles_meta[t]
+        uniq, li, lr, lv, bo, dwg = tiles_meta[t]
         ctrl[step:step + ns, 0, 0] = out_of[t] - out_base
         ctrl[step, 0, 1] = 1  # first step of a (virtual) tile: split
         ctrl[step, 0, 9] = 1 if first_piece[t] else 0  # zero output
         ctrl[step, 0, 8] = (0 if chunks else uniq.shape[0])
         ctrl[step:step + ns, 0, 5] = (j % 2) * S_buf
+        if window:
+            # dst window of each step's G groups (dw-homogeneous by
+            # construction in _build_groups)
+            ctrl[step:step + ns, 0, 10] = dwg.reshape(ns, G)[:, 0]
         tile_of[step:step + ns] = out_of[t] - out_base
         lidx[step * G:(step + ns) * G] = li
         lrow[step * G:(step + ns) * G] = lr

@@ -108,8 +108,15 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
                         # kernel numerics: vh*(ghi+glo) + vl*ghi
                         contrib = (vh * (gath[:, :d] + gath[:, d:])
                                    + vl * gath[:, :d])
-                    valid = rows < R
-                    np.add.at(out, tile * R + np.where(valid, rows, 0),
+                    if plan.window:
+                        # dst-window-homogeneous step: local rows land at
+                        # the step's 128-row window inside the tile
+                        dst0 = tile * R + ctrl[i, 0, 10] * _L
+                        valid = rows < _L
+                    else:
+                        dst0 = tile * R
+                        valid = rows < R
+                    np.add.at(out, dst0 + np.where(valid, rows, 0),
                               np.where(valid[:, None], contrib, 0.0))
         out_tiles.append(out)
     y = np.concatenate(out_tiles, axis=0)[:n]

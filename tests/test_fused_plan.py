@@ -282,3 +282,75 @@ def test_fused_chunks_with_virtual_tiles():
     got_k = np.asarray(spmm_fused(plan, jnp.asarray(x)))
     np.testing.assert_allclose(got_k, want, rtol=RTOL,
                                atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_fused_duplicate_edges_coalesce():
+    """Duplicate (row, col) entries must be coalesced by the plan build:
+    a multi-hot bitmask bit has no multiplicity, so an un-coalesced
+    duplicate would silently drop one copy (found as a 0.15 rel error on
+    self-loop rows of a graph normalized twice)."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+    rng = np.random.default_rng(11)
+    n = 260
+    rows, cols = [], []
+    for i in range(n):
+        nb = rng.choice(n, size=4, replace=False)
+        rows += [i] * 4 + [i, i]          # two duplicate self-loops
+        cols += nb.tolist() + [i, i]
+    rows, cols = np.asarray(rows), np.asarray(cols)
+    order = np.argsort(rows * n + cols, kind="stable")
+    rows, cols = rows[order], cols[order]
+    vals = np.ones(rows.shape[0], np.float32)  # would factor "unweighted"
+    indptr = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows, minlength=n), out=indptr[1:])
+    csr = CSR(indptr=indptr, cols=cols.astype(np.int32), vals=vals,
+              shape=(n, n))
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), 1.0)    # duplicates SUM in the oracle
+    x = np.random.default_rng(5).standard_normal((n, 8)).astype(np.float32)
+    want = dense @ x
+    plan = build_fused_plan(csr, R=128, T=256, hot_budget=0,
+                            staging="chunks", stage_tier=128)
+    assert not plan.multihot  # coalesced value 2.0 no longer factors
+    np.testing.assert_allclose(simulate(plan, x), want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+    got = np.asarray(spmm_fused(plan, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+@pytest.mark.parametrize("unweighted", [False, True])
+def test_fused_window_mode(unweighted):
+    """window=True: every step's lanes share one 128-row dst window (the
+    scatter one-hot is (128, T)); sim + kernel must match the oracle,
+    including hub-split virtual tiles (s_cap) and multi-hot lanes."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.fused import spmm_fused
+
+    rng = np.random.default_rng(17)
+    n = 1024
+    dense = (rng.random((n, n)) < 0.03).astype(np.float32)
+    dense[:, :24] = (rng.random((n, 24)) < 0.7).astype(np.float32)  # hubs
+    if not unweighted:
+        dense = dense * rng.random((n, n)).astype(np.float32)
+    csr = CSR.from_dense(dense)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    want = dense @ x
+    plan = build_fused_plan(csr, R=256, T=512, hot_budget=128,
+                            hot_min_run=1, staging="chunks",
+                            stage_tier=256, s_cap=512, window=True)
+    assert plan.window
+    assert plan.multihot == unweighted  # vals==1 factor as rank-1
+    # every compute step is dst-window-homogeneous by construction
+    for seg in plan.segments:
+        ctrl = np.asarray(seg.ctrl)
+        assert ctrl[:, 0, 10].max() < plan.R // 128
+    np.testing.assert_allclose(simulate(plan, x), want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+    got = np.asarray(spmm_fused(plan, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
