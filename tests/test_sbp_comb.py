@@ -85,3 +85,46 @@ def test_partial_sum_roundtrip(mesh8):
         body, mesh=mesh8, in_specs=P("x"), out_specs=P(),
     )(pieces)
     np.testing.assert_allclose(np.asarray(out)[0], x.sum(axis=0), rtol=1e-6)
+
+
+def test_partial_to_split_reduce_scatter(mesh8):
+    """P -> S0 resolves via psum_scatter inside shard_map (the reference
+    boxing algebra's ccl-p-to-s; eager_boxing_interpreter_mgr.cpp makes
+    P->S a first-class one-collective lowering, not P->B then slice)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x = _host((8, 16))
+
+    def body(x_shard):
+        partial = x_shard * 1.0
+        return jax.lax.psum_scatter(partial, "x", scatter_dimension=0,
+                                    tiled=True)
+
+    y = jax.jit(shard_map(
+        body, mesh=mesh8, in_specs=P(None, None), out_specs=P("x")))(x)
+    # every device contributed one replica of x: P->S0 of (8 copies)
+    np.testing.assert_allclose(np.asarray(y), 8.0 * x)
+
+
+def test_partial_to_split_matches_partial_to_broadcast(mesh8):
+    """P->S0 then allgather == P->B (the boxing-combination identity the
+    reference checks across its nd-sbp sweep)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    x = _host((8, 16))
+
+    def p_to_b(x_shard):
+        return jax.lax.psum(x_shard, "x")
+
+    def p_to_s_to_b(x_shard):
+        s = jax.lax.psum_scatter(x_shard, "x", scatter_dimension=0,
+                                 tiled=True)
+        return jax.lax.all_gather(s, "x", axis=0, tiled=True)
+
+    a = jax.jit(shard_map(p_to_b, mesh=mesh8, in_specs=P(None, None),
+                          out_specs=P()))(x)
+    b = jax.jit(shard_map(p_to_s_to_b, mesh=mesh8, in_specs=P(None, None),
+                          out_specs=P(), check_vma=False))(x)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
