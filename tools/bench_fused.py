@@ -37,12 +37,15 @@ def _ablate(plan, mode):
 
 
 def main():
-    graph = sys.argv[1] if len(sys.argv) > 1 else "ogbn-arxiv"
-    R = int(sys.argv[2]) if len(sys.argv) > 2 else 512
-    T = int(sys.argv[3]) if len(sys.argv) > 3 else 1024
-    hot = int(sys.argv[4]) if len(sys.argv) > 4 else 16384
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    graph = pos[0] if len(pos) > 0 else "ogbn-arxiv"
+    R = int(pos[1]) if len(pos) > 1 else 512
+    T = int(pos[2]) if len(pos) > 2 else 1024
+    hot = int(pos[3]) if len(pos) > 3 else 16384
     ablate = "--ablate" in sys.argv
     parity = "--parity" in sys.argv
+    window = "--window" in sys.argv
+    staging = "rows" if "--staging=rows" in sys.argv else "chunks"
 
     import jax
     import jax.numpy as jnp
@@ -62,8 +65,11 @@ def main():
 
     t0 = time.time()
     plan = cached(
-        "fusedplan", f"{graph}|sym|gcn-norm|R{R}|T{T}|hot{hot}|v5",
-        lambda: build_fused_plan(csr, R=R, T=T, hot_budget=hot))
+        "fusedplan",
+        f"{graph}|sym|gcn-norm|R{R}|T{T}|hot{hot}|v5"
+        f"|st={staging}|w={int(window)}",
+        lambda: build_fused_plan(csr, R=R, T=T, hot_budget=hot,
+                                 staging=staging, window=window))
     build_s = time.time() - t0
     t0 = time.time()
     plan = place_plan(plan)
