@@ -200,10 +200,9 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         RS = _L if window else R
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (RS, _L), 0)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
-        # two independent accumulation chains (even/odd groups) so the
-        # VPU adds between groups don't serialize the MXU pipeline
-        acc0 = acc1 = None
-        for g in range(G):
+
+        def group_contrib(g):
+            """One lane group's (RS, 256) partial sum; g static or traced."""
             blk = blk_ref[0, 0, g]
             if chunks:
                 # cold windows live in the double-buffered staged region:
@@ -220,7 +219,7 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                 # 128 lanes): row 32w+j selected for lane l iff bit j of
                 # word w. The matmul is an exact selection-SUM (multiple
                 # rows of one block folding into one lane).
-                mw = lidx_ref[g]                       # (4, 128) int32
+                mw = lidx_ref[pl.ds(g, 1)].reshape(4, _L)  # (4, 128) int32
                 parts = []
                 for w4 in range(4):
                     word = jnp.broadcast_to(mw[w4:w4 + 1, :], (32, _L))
@@ -239,31 +238,59 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                         ).astype(jnp.bfloat16)
                 gath = jnp.concatenate([g_hi, g_lo], axis=1)
             else:
-                lanes = lidx_ref[g, :].reshape(_L, 1)
+                lanes = lidx_ref[pl.ds(g, 1), :].reshape(_L, 1)
                 oh = (lanes == col_iota).astype(jnp.bfloat16)
                 gath = jax.lax.dot_general(
                     oh, win, _DN, preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16)
             roh = (
-                row_iota == lrow_ref[g, :].reshape(1, _L)
+                row_iota == lrow_ref[pl.ds(g, 1), :].reshape(1, _L)
             ).astype(jnp.bfloat16)
             if rank1:
                 s = jax.lax.dot_general(roh, gath, _DN,
                                         preferred_element_type=jnp.float32)
             else:
-                rvh = roh * vh_ref[g, :].reshape(1, _L)
-                rvl = roh * vl_ref[g, :].reshape(1, _L)
+                rvh = roh * vh_ref[pl.ds(g, 1), :].reshape(1, _L)
+                rvl = roh * vl_ref[pl.ds(g, 1), :].reshape(1, _L)
                 s = jax.lax.dot_general(rvh, gath, _DN,
                                         preferred_element_type=jnp.float32)
                 s2 = jax.lax.dot_general(rvl, gath[:, 0:_L], _DN,
                                          preferred_element_type=jnp.float32)
                 # vl*ghi lands in the hi half; halves are summed below
                 s = s + jnp.pad(s2, ((0, 0), (0, _L)))
-            if g % 2 == 0:
-                acc0 = s if acc0 is None else acc0 + s
-            else:
-                acc1 = s if acc1 is None else acc1 + s
-        acc = acc0 if acc1 is None else acc0 + acc1
+            return s
+
+        if G <= 8:
+            # full static unroll, two independent accumulation chains
+            # (even/odd groups) so the VPU adds between groups don't
+            # serialize the MXU pipeline
+            acc0 = acc1 = None
+            for g in range(G):
+                s = group_contrib(g)
+                if g % 2 == 0:
+                    acc0 = s if acc0 is None else acc0 + s
+                else:
+                    acc1 = s if acc1 is None else acc1 + s
+            acc = acc0 if acc1 is None else acc0 + acc1
+        else:
+            # big T: Mosaic compile time explodes on a G-wide unroll
+            # (observed: G=16 never finished). Roll the group loop with a
+            # 4-group unrolled body, same even/odd accumulator split.
+            GU = 4
+            z = jnp.zeros((RS, 2 * _L), jnp.float32)
+
+            def gbody(j, carry):
+                a0, a1 = carry
+                for u in range(GU):
+                    s = group_contrib(j * GU + u)
+                    if u % 2 == 0:
+                        a0 = a0 + s
+                    else:
+                        a1 = a1 + s
+                return a0, a1
+
+            acc0, acc1 = jax.lax.fori_loop(0, G // GU, gbody, (z, z))
+            acc = acc0 + acc1
         if window:
             off = pl.multiple_of(ctrl_ref[0, 0, 10] * _L, _L)
             o_ref[pl.ds(off, _L), :] = (
