@@ -42,7 +42,10 @@ import numpy as np
 from of_spmm_tpu.sparse.formats import CSR
 
 _L = 128
-DEFAULT_R = 512          # output rows per tile
+DEFAULT_R = 128          # output rows per tile: the (R, T) scatter one-hot
+#                          costs R*256 MACs per lane, so R=128 (the MXU
+#                          minimum) wins on big graphs — measured 946 ms vs
+#                          ~1.2 s at R=512 on ogbn-products (r2 session)
 DEFAULT_T = 1024         # lanes per step (G = T/128 groups)
 DEFAULT_HOT_BUDGET = 16384   # max hot rows (x 512B hi|lo = 8 MB VMEM)
 DEFAULT_HOT_MIN_RUN = 32     # keep hot blocks while lanes/tile/block >= this
