@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from of_spmm_tpu.sparse.fused import _CQ, _L, FusedPlan, FusedSegment
+from of_spmm_tpu.sparse.fused import _L, FusedPlan, FusedSegment
 
 _DN = (((1,), (0,)), ((), ()))
 _W = 64      # DMA wave width
@@ -48,7 +48,7 @@ _NSEM = 16   # semaphore ring (split by step parity)
 
 def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             *rest, R, T, G, S_buf, H_blocks, DMAX, rank1, multihot,
-            chunks, window, interpret):
+            chunks, window, CQ, interpret):
     if rank1:
         vh_ref = vl_ref = None
         rest2 = rest
@@ -106,20 +106,20 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                     # wait: shape-identical reconstruction; prev dst from
                     # the PREVIOUS step's chunk list is not readable here,
                     # so waits use a dst-shape proxy at block 0 of the
-                    # other parity region — byte counts match (_CQ, 256).
+                    # other parity region — byte counts match (CQ, 256).
                     pltpu.make_async_copy(
-                        table_ref.at[pl.ds(0, _CQ), :],
-                        hilo.at[pl.ds(H_blocks * _L, _CQ), :],
+                        table_ref.at[pl.ds(0, CQ), :],
+                        hilo.at[pl.ds(H_blocks * _L, CQ), :],
                         sem.at[(k % HALF) + slot_wait]).wait()
             for k in range(DMAX):
                 @pl.when(k < cnt)
                 def _(k=k):
-                    src = pl.multiple_of(scols_ref[0, 0, k] * _CQ, _CQ)
+                    src = pl.multiple_of(scols_ref[0, 0, k] * CQ, CQ)
                     dst = pl.multiple_of(
-                        H_blocks * _L + scols_ref[0, 1, k] * _CQ, _CQ)
+                        H_blocks * _L + scols_ref[0, 1, k] * CQ, CQ)
                     pltpu.make_async_copy(
-                        table_ref.at[pl.ds(src, _CQ), :],
-                        hilo.at[pl.ds(dst, _CQ), :],
+                        table_ref.at[pl.ds(src, CQ), :],
+                        hilo.at[pl.ds(dst, CQ), :],
                         sem.at[(k % HALF) + slot_issue]).start()
 
         @pl.when(i % 2 == 0)
@@ -342,7 +342,7 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
     kernel = functools.partial(
         _kernel, R=R, T=T, G=G, S_buf=plan.S_buf, H_blocks=H_blocks,
         DMAX=DMAX, rank1=rank1, multihot=plan.multihot, chunks=chunks,
-        window=plan.window, interpret=interpret)
+        window=plan.window, CQ=plan.cq, interpret=interpret)
 
     def smem(shape):
         return pl.BlockSpec(shape, lambda i, t: (i, 0, 0),

@@ -133,11 +133,15 @@ class FusedPlan:
     n_lanes: int                  # total lanes incl. padding
     window: bool = False          # steps are dst-window-homogeneous: the
     #                               scatter one-hot is (128, T), not (R, T)
+    cq: int = 32                  # chunk quantum (rows per staging DMA +
+    #                               run alignment) in chunks mode
 
     def __getattr__(self, name):
-        # plans pickled before the ``window`` field existed
+        # plans pickled before the ``window``/``cq`` fields existed
         if name == "window":
             return False
+        if name == "cq":
+            return 32
         raise AttributeError(name)
 
     def tree_flatten(self):
@@ -145,19 +149,20 @@ class FusedPlan:
                     self.col_scale)
         aux = (self.shape, self.R, self.T, self.multihot, self.staging,
                self.stage_tier, self.S_buf, self.DMAX, self.n_staged,
-               self.n_lanes, self.window)
+               self.n_lanes, self.window, self.cq)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         segments, hot_ids, row_scale, col_scale = children
         (shape, R, T, multihot, staging, stage_tier, S_buf, DMAX,
-         n_staged, n_lanes, window) = aux
+         n_staged, n_lanes, window, cq) = aux
         return cls(segments=tuple(segments), hot_ids=hot_ids,
                    row_scale=row_scale, col_scale=col_scale, shape=shape,
                    R=R, T=T, multihot=multihot, staging=staging,
                    stage_tier=stage_tier, S_buf=S_buf, DMAX=DMAX,
-                   n_staged=n_staged, n_lanes=n_lanes, window=window)
+                   n_staged=n_staged, n_lanes=n_lanes, window=window,
+                   cq=cq)
 
     @property
     def n_hot(self) -> int:
@@ -305,14 +310,17 @@ def _build_groups(wp_p, rr_p, vv_p, use_rank1, R, G, window):
     return tuple(np.concatenate([p[k] for p in parts]) for k in range(5))
 
 
-_CQ = 32  # chunk quantum: run alignment + copy granularity (bf16 tile
-#           height x2; thin cold runs would pad ~2x at 128 on power-law
-#           graphs, ~15% at 32)
+_CQ = 32  # default chunk quantum: run alignment + copy granularity (bf16
+#           tile height x2; thin cold runs would pad ~2x at 128 on
+#           power-law graphs, ~15% at 32). Fat-tile plans can raise it
+#           (cq=128 quarters the scalar-core DMA issue count) together
+#           with a larger stage_tier to keep run-alignment padding low.
 
 
-def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int) -> np.ndarray:
+def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int,
+                            cq: int = _CQ) -> np.ndarray:
     """Positions of sorted cold columns in the tile's RUN-ALIGNED staged
-    space: each per-tier run starts on a _CQ-row boundary (chunks mode —
+    space: each per-tier run starts on a cq-row boundary (chunks mode —
     the staged table and the copy destinations stay block-aligned)."""
     if uniq.shape[0] == 0:
         return np.zeros(0, np.int64)
@@ -320,7 +328,7 @@ def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int) -> np.ndarray:
     bnd = np.nonzero(np.diff(tiers))[0] + 1
     starts = np.concatenate([[0], bnd])
     lens = np.diff(np.concatenate([starts, [uniq.shape[0]]]))
-    alens = -(-lens // _CQ) * _CQ
+    alens = -(-lens // cq) * cq
     base = np.zeros(lens.shape[0] + 1, np.int64)
     np.cumsum(alens, out=base[1:])
     runid = np.repeat(np.arange(lens.shape[0], dtype=np.int64), lens)
@@ -329,9 +337,9 @@ def _aligned_cold_positions(uniq: np.ndarray, stage_tier: int) -> np.ndarray:
 
 
 def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
-                        lo: int, hi: int):
+                        lo: int, hi: int, cq: int = _CQ):
     """Take entries for aligned-space rows [lo, hi) of a tile: per
-    _CQ-block tier ids (n_blocks,) and tier-LOCAL indices (n_blocks*_CQ,)
+    cq-block tier ids (n_blocks,) and tier-LOCAL indices (n_blocks*cq,)
     (run pads repeat the run's first index)."""
     if uniq.shape[0] == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int32)
@@ -339,7 +347,7 @@ def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
     bnd = np.nonzero(np.diff(tiers))[0] + 1
     starts = np.concatenate([[0], bnd])
     lens = np.diff(np.concatenate([starts, [uniq.shape[0]]]))
-    alens = -(-lens // _CQ) * _CQ
+    alens = -(-lens // cq) * cq
     base = np.zeros(lens.shape[0] + 1, np.int64)
     np.cumsum(alens, out=base[1:])
     total = int(base[-1])
@@ -356,13 +364,13 @@ def _piece_take_entries(uniq: np.ndarray, stage_tier: int,
     if lo_c >= hi_c:
         return np.zeros(0, np.int64), np.zeros(0, np.int32)
     take_idx = filled[lo_c:hi_c]
-    take_tier = tier_of_row[lo_c:hi_c:_CQ]  # per-block (runs are aligned)
+    take_tier = tier_of_row[lo_c:hi_c:cq]  # per-block (runs are aligned)
     # pad the piece to a 128-row multiple (repeat the first block) so the
     # kernel's 128-row one-hot windows never read unwritten scratch
     pad_rows = -take_idx.shape[0] % _L
     if pad_rows:
-        nb = pad_rows // _CQ
-        take_idx = np.concatenate([take_idx, np.tile(take_idx[:_CQ], nb)])
+        nb = pad_rows // cq
+        take_idx = np.concatenate([take_idx, np.tile(take_idx[:cq], nb)])
         take_tier = np.concatenate(
             [take_tier, np.repeat(take_tier[:1], nb)])
     return take_tier.astype(np.int64), take_idx
@@ -427,6 +435,7 @@ def build_fused_plan(
     staging: str = "chunks",
     stage_tier: int = 32768,
     window: bool = False,
+    cq: int = _CQ,
 ) -> FusedPlan:
     """Host-side fused-engine plan build (numpy; native fast path TBD).
 
@@ -519,7 +528,7 @@ def build_fused_plan(
             uniq = uniq_t[cold_mask]
             # window position per unique entry: hot rank or H + cold pos
             if staging == "chunks":
-                cpos = _aligned_cold_positions(uniq, stage_tier)
+                cpos = _aligned_cold_positions(uniq, stage_tier, cq)
                 upos = np.full(uniq_t.shape[0], 0, np.int64)
                 upos[cold_mask] = H + cpos
                 upos[~cold_mask] = hr_u[~cold_mask]
@@ -543,7 +552,7 @@ def build_fused_plan(
             win_pos = np.empty(c.shape[0], dtype=np.int64)
             win_pos[is_hot] = hr[is_hot]
             if staging == "chunks":
-                cpos = _aligned_cold_positions(uniq, stage_tier)
+                cpos = _aligned_cold_positions(uniq, stage_tier, cq)
                 win_pos[~is_hot] = H + cpos[inv]
             else:
                 win_pos[~is_hot] = H + inv
@@ -579,7 +588,8 @@ def build_fused_plan(
                 # of raw column ids (pads repeat the run head — valid
                 # data, never selected by the one-hot masks)
                 take_t, take_idx = _piece_take_entries(
-                    uniq, stage_tier, piece * s_cap, (piece + 1) * s_cap)
+                    uniq, stage_tier, piece * s_cap, (piece + 1) * s_cap,
+                    cq)
                 uniq_p = (take_t, take_idx)  # per-128-block tier + idx
                 staged_rows = take_idx.shape[0]
             else:
@@ -607,8 +617,8 @@ def build_fused_plan(
         u = tiles_meta[t][0]
         return u[1].shape[0] if isinstance(u, tuple) else u.shape[0]
 
-    # chunks mode moves _CQ rows per DMA: budget in DMA ops
-    dma_quantum = _CQ if staging == "chunks" else 1
+    # chunks mode moves cq rows per DMA: budget in DMA ops
+    dma_quantum = cq if staging == "chunks" else 1
     dma_cap = 32 if staging == "chunks" else DMAX_CAP
     steps_of = []
     for t in range(n_meta):
@@ -666,7 +676,7 @@ def build_fused_plan(
             _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
                           first_piece, R, T, G, S_buf, DMAX, use_rank1,
                           staging=staging, stage_tier=stage_tier,
-                          window=window))
+                          window=window, cq=cq))
         seg_start = seg_tiles[-1] + 1
 
     # leaves stay NUMPY (lazy device transfer; a remotely-tunneled chip
@@ -681,16 +691,17 @@ def build_fused_plan(
         R=R, T=T, multihot=use_rank1, staging=staging,
         stage_tier=stage_tier, S_buf=int(S_buf), DMAX=int(DMAX),
         n_staged=int(n_staged), n_lanes=int(n_lanes), window=window,
+        cq=cq,
     )
 
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
                   R, T, G, S_buf, DMAX, rank1,
                   staging="rows", stage_tier=32768,
-                  window=False):  # noqa: C901
+                  window=False, cq=_CQ):  # noqa: C901
     multihot = rank1
     chunks = staging == "chunks"
-    S_blocks = S_buf // _CQ if chunks else S_buf // _L
+    S_blocks = S_buf // cq if chunks else S_buf // _L
 
     if chunks:
         # tier-major take table: per tier, per segment tile, its blocks;
@@ -708,7 +719,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
             per_tier_src[j] = src_map
             for b in range(take_tier.shape[0]):
                 per_tier_idx[int(take_tier[b])].append(
-                    (j, b, take_idx[b * _CQ:(b + 1) * _CQ]))
+                    (j, b, take_idx[b * cq:(b + 1) * cq]))
         table_blk = 0
         tier_ptr = [0]
         take_list = []
@@ -717,7 +728,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
                 per_tier_src[j][b] = table_blk
                 take_list.append(idx)
                 table_blk += 1
-            tier_ptr.append(table_blk * _CQ)
+            tier_ptr.append(table_blk * cq)
         stage_take = (np.concatenate(take_list).astype(np.int32)
                       if take_list else np.zeros(0, np.int32))
         stage_tier_ptr = tuple(tier_ptr)

@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from of_spmm_tpu.sparse.fused import _CQ, _L, FusedPlan
+from of_spmm_tpu.sparse.fused import _L, FusedPlan
 
 
 def _hilo(a: np.ndarray) -> np.ndarray:
@@ -70,8 +70,9 @@ def simulate(plan: FusedPlan, x: np.ndarray) -> np.ndarray:
                 if chunks:
                     for k in range(cnt):
                         sb, db = chunk_arr[i, 0, k], chunk_arr[i, 1, k]
-                        hilo[db * _CQ:(db + 1) * _CQ] = \
-                            table[sb * _CQ:(sb + 1) * _CQ]
+                        cq = plan.cq
+                        hilo[db * cq:(db + 1) * cq] = \
+                            table[sb * cq:(sb + 1) * cq]
                 else:
                     stage[base:base + cnt] = xs[scols[i, :cnt]]
             if tile >= 0 and first and zero_out:
