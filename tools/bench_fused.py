@@ -46,6 +46,13 @@ def main():
     parity = "--parity" in sys.argv
     window = "--window" in sys.argv
     staging = "rows" if "--staging=rows" in sys.argv else "chunks"
+    cq = 32
+    tier = 32768
+    for a in sys.argv[1:]:
+        if a.startswith("--cq="):
+            cq = int(a.split("=")[1])
+        if a.startswith("--tier="):
+            tier = int(a.split("=")[1])
 
     import jax
     import jax.numpy as jnp
@@ -67,9 +74,10 @@ def main():
     plan = cached(
         "fusedplan",
         f"{graph}|sym|gcn-norm|R{R}|T{T}|hot{hot}|v5"
-        f"|st={staging}|w={int(window)}",
+        f"|st={staging}|w={int(window)}|cq{cq}|tt{tier}",
         lambda: build_fused_plan(csr, R=R, T=T, hot_budget=hot,
-                                 staging=staging, window=window))
+                                 staging=staging, window=window,
+                                 cq=cq, stage_tier=tier))
     build_s = time.time() - t0
     t0 = time.time()
     plan = place_plan(plan)
