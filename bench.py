@@ -64,12 +64,13 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         from of_spmm_tpu.sparse.fused import DEFAULT_SEG_STEPS
 
         ly_key = (f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
-                  f"-chunks-ss{DEFAULT_SEG_STEPS}-v11")
+                  f"-chunks-ss{DEFAULT_SEG_STEPS}-v12")
     else:
         ly_key = f"|ly-{layout}" if layout != "auto" else ""
     op, nnz, shape = cached(
         "op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}{ly_key}", build)
-    log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({time.time()-t0:.1f}s)")
+    plan_build_s = time.time() - t0
+    log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({plan_build_s:.1f}s)")
     t0 = time.time()
     op = place_operator(op)
     eff = op.binned.padding_efficiency(nnz)
@@ -87,6 +88,13 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
                     f"staged={p.n_staged/1e6:.1f}M lanes={p.n_lanes/1e6:.1f}M "
                     f"multihot={p.multihot}")
         widths = []
+        from of_spmm_tpu.sparse.fused import plan_memory_report
+
+        mem = plan_memory_report(p, d=min(d, 128))
+        log(f"[{name}] fused HBM model: peak={mem['peak_bytes']/2**30:.2f} "
+            f"GiB budget={mem['budget_bytes']/2**30:.2f} GiB "
+            f"max_table={mem['max_table_bytes']/2**30:.2f} GiB "
+            f"segments={len(p.segments)} fits={mem['fits']}")
     elif isinstance(op.binned, ExpansionPlan):
         p = op.binned
         layout_s = (f"expansion R={p.R} TILE={p.TILE} CW={p.CW} "
@@ -108,6 +116,8 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
 
     traffic = SpmmTraffic(nnz=nnz, n_rows=shape[0], n_cols=shape[1], d=d)
     results = {}
+    results["_meta"] = {"plan_build_s": round(plan_build_s, 2),
+                        "layout": layout_s, "failures": {}}
 
     for impl_name in impls:
         try:
@@ -137,6 +147,10 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
             )
         except Exception as e:  # keep the bench alive; report what works
             log(f"[{name}] {impl_name} FAILED: {type(e).__name__}: {e}")
+            # surfaced in the headline JSON so a silent fallback to a
+            # slower impl is impossible (VERDICT r2 item 1)
+            results["_meta"]["failures"][impl_name] = (
+                f"{type(e).__name__}: {e}"[:300])
     return results
 
 
@@ -347,27 +361,37 @@ def main():
             bench_graph(g, d=args.d, iters=args.iters, impls=impls,
                         tier_size=args.tier_size, layout=args.layout)
 
+    meta = {}
     if args.layout == "auto" and set(impls) == {"xla", "pallas"}:
         # each impl on its measured-best layout (see sparse/expansion.py
         # rate table): XLA on the tiered/binned auto choice, the Pallas
-        # MXU one-hot engine on the expansion plan.
+        # fused staging engine on the fused plan.
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=("xla",), tier_size=args.tier_size,
                               layout="auto")
+        meta["auto"] = results.pop("_meta", {})
         exp = bench_graph(args.graph, d=args.d, iters=args.iters,
                           impls=("pallas",), tier_size=args.tier_size,
                           layout="fused")
+        meta["fused"] = exp.pop("_meta", {})
         results.update({"pallas-fused": v for v in exp.values()})
     else:
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=impls, tier_size=args.tier_size,
                               layout=args.layout)
+        meta[args.layout] = results.pop("_meta", {})
+    failures = {f"{ly}:{impl}": msg
+                for ly, mm in meta.items()
+                for impl, msg in mm.get("failures", {}).items()}
+    plan_build_s = {ly: mm.get("plan_build_s") for ly, mm in meta.items()}
     best_name, best = max(
         results.items(), key=lambda kv: kv[1]["roofline_fraction"], default=(None, None)
     )
     if best is None:
         print(json.dumps({"metric": "spmm_roofline_fraction", "value": 0.0,
-                          "unit": "fraction", "vs_baseline": 0.0}))
+                          "unit": "fraction", "vs_baseline": 0.0,
+                          "failures": failures,
+                          "plan_build_s": plan_build_s}))
         return 1
     log(f"best impl: {best_name}")
     # vs_baseline: ratio against the BASELINE.md target of 60% of the
@@ -377,9 +401,14 @@ def main():
         "value": round(best["roofline_fraction"], 4),
         "unit": "fraction_of_hbm_roofline",
         "vs_baseline": round(best["roofline_fraction"] / 0.60, 4),
+        "best_impl": best_name,
+        "ms_per_spmm": round(best["seconds"] * 1e3, 3),
+        "plan_build_s": plan_build_s,
         "synthetic_graphs": True,  # degree-law-matched stand-ins (no
         # network egress in this environment; see data/graphs.py)
     }
+    if failures:
+        out["failures"] = failures  # loud fallback (VERDICT r2 item 1)
     if extras is not None:
         out["matrix"] = extras
     print(json.dumps(out))

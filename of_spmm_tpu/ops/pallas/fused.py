@@ -299,20 +299,24 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
             o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
 
 
-def _stage_table(seg: FusedSegment, plan: FusedPlan, xs: jnp.ndarray,
-                 dep=None) -> jnp.ndarray:
+def _stage_table(seg: FusedSegment, plan: FusedPlan,
+                 xs: jnp.ndarray) -> jnp.ndarray:
     """Chunks-mode XLA staging phase: per-tier takes (the measured v5e
     fast path needs tables <= 32K rows) into the tier-major packed
     [hi|lo] bf16 table the kernel block-copies from.
 
-    ``dep`` (a scalar from the previous segment's output) threads a
-    zero-valued data dependency through the take indices so XLA cannot
-    schedule every segment's multi-GB table to be live at once."""
+    Segment serialization (so only ~one multi-GB staged table is ever
+    live) happens in the caller via ``lax.optimization_barrier`` — the
+    round-2 zero-valued-dep trick (``take + dep*0``) was algebraically
+    simplified away by XLA, which then scheduled every segment's table
+    concurrently and OOMed at ogbn-products scale (BENCH_r02 tail).
+    The reference plans memory explicitly at compile time
+    (oneflow/core/job/compiler.cpp:107 IntraJobMemSharingUtil); here the
+    plan builder bounds per-segment table bytes (sparse/fused.py
+    plan_memory_report) and the barrier pins the liveness order."""
     ptr = seg.stage_tier_ptr
     TS = plan.stage_tier
     take = seg.stage_take
-    if dep is not None:
-        take = take + (dep * 0.0).astype(jnp.int32)
     outs = []
     for t in range(len(ptr) - 1):
         if ptr[t + 1] == ptr[t]:
@@ -331,7 +335,7 @@ def _stage_table(seg: FusedSegment, plan: FusedPlan, xs: jnp.ndarray,
 
 
 def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
-                  interpret: bool, dep=None) -> jnp.ndarray:
+                  interpret: bool) -> jnp.ndarray:
     R, T = plan.R, plan.T
     G = T // _L
     H_blocks = plan.n_hot // _L
@@ -375,7 +379,7 @@ def _segment_call(seg: FusedSegment, plan: FusedPlan, hot_hilo, xs,
         pl.BlockSpec(memory_space=pl.ANY),        # staged table / xs (HBM)
     ]
     if chunks:
-        args += [hot_hilo, _stage_table(seg, plan, xs, dep=dep)]
+        args += [hot_hilo, _stage_table(seg, plan, xs)]
     else:
         args += [hot_hilo, xs]
 
@@ -421,12 +425,16 @@ def _spmm_fused_jit(plan: FusedPlan, x: jnp.ndarray,
     else:
         hot_hilo = jnp.zeros((_L, 256), jnp.bfloat16)
     outs = []
-    dep = None
     for seg in plan.segments:
-        out = _segment_call(seg, plan, hot_hilo, xs, interpret, dep=dep)
+        out = _segment_call(seg, plan, hot_hilo, xs, interpret)
         outs.append(out)
-        if plan.staging == "chunks":
-            dep = out[0, 0]  # serialize segments (bounds live tables)
+        if plan.staging == "chunks" and len(plan.segments) > 1:
+            # serialize segments: the NEXT segment's staged-table takes
+            # read the barriered xs, so XLA cannot build table k+1 before
+            # kernel k finishes — peak live staged bytes stays at ~one
+            # segment (an opaque barrier, unlike the r2 dep*0 trick which
+            # XLA folded away and then OOMed; see _stage_table docstring)
+            xs, _ = jax.lax.optimization_barrier((xs, out[0, 0]))
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     out = out[: plan.shape[0]]
     if plan.row_scale is not None:

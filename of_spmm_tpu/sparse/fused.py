@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from of_spmm_tpu.sparse.formats import CSR
+from of_spmm_tpu.utils.errors import CapacityError
 
 _L = 128
 DEFAULT_R = 128          # output rows per tile: the (R, T) scatter one-hot
@@ -179,6 +180,78 @@ class FusedPlan:
 def place_plan(plan: FusedPlan) -> FusedPlan:
     """Commit every plan leaf to the default device in one transfer."""
     return jax.device_put(plan)
+
+
+# Per-chip HBM for the plan-time memory budget. The reference's compiler
+# plans register/memory reuse explicitly at Plan build
+# (oneflow/core/job/compiler.cpp:107 IntraJobMemSharingUtil, plan memory
+# log at core/framework/nn_graph.cpp:302); the TPU analog is this
+# host-side liveness model: with segments serialized by an optimization
+# barrier, peak HBM = plan arrays + X + outputs + ~1.5x the largest
+# per-segment staged table (1.5: XLA may overlap freeing table k with
+# allocating k+1's smaller pieces).
+_DEFAULT_HBM = 16 << 30       # v5e / v5 lite: 16 GB
+_TABLE_HEADROOM = 1.5
+_BUDGET_FRACTION = 0.80       # leave room for XLA temps + fragmentation
+
+
+def device_hbm_bytes() -> int:
+    """Detected per-chip HBM bytes (OFS_HBM_BYTES overrides; CPU hosts
+    building plans for a TPU target get the v5e default)."""
+    from of_spmm_tpu.utils.config import FLAGS
+
+    flag = int(FLAGS.get("OFS_HBM_BYTES"))
+    if flag:
+        return flag
+    try:
+        dev = jax.devices()[0]
+        if dev.platform != "cpu":
+            stats = dev.memory_stats() or {}
+            lim = int(stats.get("bytes_limit", 0))
+            if lim:
+                return lim
+    except Exception:
+        pass
+    return _DEFAULT_HBM
+
+
+def _nbytes(a) -> int:
+    return 0 if a is None else int(np.asarray(a).size) * a.dtype.itemsize
+
+
+def plan_memory_report(plan: FusedPlan, d: int = 128,
+                       hbm_limit: Optional[int] = None) -> dict:
+    """Exact peak-HBM model for executing ``plan`` on a ``d``-wide X.
+
+    Components (bytes): the device-resident plan arrays, X (input + the
+    f32 128-wide slab), the hot table, 2x the output (segment pieces +
+    the final concat), and — chunks mode — ``_TABLE_HEADROOM`` x the
+    largest per-segment staged table (segments are serialized by an
+    optimization barrier, so tables don't stack). ``fits`` compares
+    against ``_BUDGET_FRACTION`` of the HBM limit."""
+    hbm = hbm_limit or device_hbm_bytes()
+    n, m = plan.shape
+    plan_b = _nbytes(plan.hot_ids) + _nbytes(plan.row_scale) + \
+        _nbytes(plan.col_scale)
+    max_table = 0
+    for seg in plan.segments:
+        for leaf in (seg.ctrl, seg.scols, seg.lidx, seg.lrow, seg.blk,
+                     seg.tile_of, seg.val_hi, seg.val_lo, seg.stage_take):
+            plan_b += _nbytes(leaf)
+        if seg.stage_take is not None:
+            max_table = max(max_table, int(seg.stage_take.shape[0]) * 512)
+    x_b = m * d * 4 + m * _L * 4
+    out_rows = sum(seg.n_tiles * plan.R for seg in plan.segments)
+    out_b = 2 * out_rows * _L * 4
+    hot_b = plan.n_hot * 512
+    peak = plan_b + x_b + out_b + hot_b + int(_TABLE_HEADROOM * max_table)
+    budget = int(_BUDGET_FRACTION * hbm)
+    return {
+        "plan_bytes": plan_b, "x_bytes": x_b, "out_bytes": out_b,
+        "hot_bytes": hot_b, "max_table_bytes": max_table,
+        "peak_bytes": peak, "hbm_bytes": hbm, "budget_bytes": budget,
+        "fits": peak <= budget,
+    }
 
 
 def _lane_groups_multihot(win_pos, rows, R):
@@ -436,6 +509,7 @@ def build_fused_plan(
     stage_tier: int = 32768,
     window: bool = False,
     cq: int = _CQ,
+    hbm_limit: Optional[int] = None,
 ) -> FusedPlan:
     """Host-side fused-engine plan build (numpy; native fast path TBD).
 
@@ -661,38 +735,116 @@ def build_fused_plan(
     if staging == "rows":
         DMAX += -DMAX % dma_wave
 
+    # --- per-segment staged-table cap from the HBM budget ----------------
+    # Plan-time memory planning (the reference does this in its compiler:
+    # oneflow/core/job/compiler.cpp:107): with segments serialized at run
+    # time, peak HBM ~= fixed costs (plan arrays + X + outputs + hot) +
+    # _TABLE_HEADROOM x the largest per-segment staged table. Cap the
+    # table so the peak fits, instead of discovering the overflow as an
+    # XLA allocation failure mid-benchmark (the round-2 failure mode).
+    stage_cap_rows = None
+    if staging == "chunks":
+        hbm = hbm_limit or device_hbm_bytes()
+        n_groups = n_lanes // _L
+        fixed = (
+            n_groups * ((4 * _L * 4) if use_rank1 else (_L * 4))  # lidx
+            + n_groups * _L * 4                                   # lrow
+            + (0 if use_rank1 else n_groups * _L * 4)             # val hi/lo
+            + sum(steps_of) * 4 * (16 + 2 * DMAX + G + 1)  # ctrl/scols/...
+            + n_staged * 4                                        # take idx
+            + m * _L * 4 * 2                                      # x + slab
+            + 2 * n_tiles * R * _L * 4                            # outputs
+            + H * 512                                             # hot
+        )
+        avail = int(_BUDGET_FRACTION * hbm) - fixed
+        stage_cap_rows = int(avail / (512 * _TABLE_HEADROOM))
+        # output-tile piece groups cannot be cut mid-group: the cap can
+        # never be effective below the largest single group's staged rows
+        group_rows = {}
+        for t in range(n_meta):
+            key = out_of[t]
+            group_rows[key] = group_rows.get(key, 0) + staged_of(t)
+        min_cap = max(group_rows.values(), default=_L)
+        stage_cap_rows = max(stage_cap_rows, min_cap)
+
     # --- emit segments (cut only at real-tile boundaries) -----------------
-    segments = []
-    seg_start = 0
-    while seg_start < n_meta:
-        seg_tiles = [seg_start]
-        total = steps_of[seg_start] + steps_of[seg_start]  # prologue + t0
-        while (seg_tiles[-1] + 1 < n_meta
-               and (total + steps_of[seg_tiles[-1] + 1] <= seg_steps
-                    or not first_piece[seg_tiles[-1] + 1])):
-            seg_tiles.append(seg_tiles[-1] + 1)
-            total += steps_of[seg_tiles[-1]]
-        segments.append(
-            _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
-                          first_piece, R, T, G, S_buf, DMAX, use_rank1,
-                          staging=staging, stage_tier=stage_tier,
-                          window=window, cq=cq))
-        seg_start = seg_tiles[-1] + 1
+    def emit_all(cap):
+        segments = []
+        seg_start = 0
+        while seg_start < n_meta:
+            seg_tiles = [seg_start]
+            total = steps_of[seg_start] * 2  # prologue + t0
+            stage_sum = staged_of(seg_start)
+            while seg_tiles[-1] + 1 < n_meta:
+                nxt = seg_tiles[-1] + 1
+                fits_next = (
+                    total + steps_of[nxt] <= seg_steps
+                    and (cap is None
+                         or stage_sum + staged_of(nxt) <= cap))
+                if not (fits_next or not first_piece[nxt]):
+                    break
+                seg_tiles.append(nxt)
+                total += steps_of[nxt]
+                stage_sum += staged_of(nxt)
+            segments.append(
+                _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
+                              first_piece, R, T, G, S_buf, DMAX, use_rank1,
+                              staging=staging, stage_tier=stage_tier,
+                              window=window, cq=cq))
+            seg_start = seg_tiles[-1] + 1
+        return segments
 
     # leaves stay NUMPY (lazy device transfer; a remotely-tunneled chip
     # would otherwise round-trip every array at build time — see
     # sparse/formats.py). Use place_plan() to commit to the device once.
-    return FusedPlan(
-        segments=tuple(segments),
-        hot_ids=hot_ids.astype(np.int32),
-        row_scale=(row_scale.astype(np.float32) if use_rank1 else None),
-        col_scale=(col_scale.astype(np.float32) if use_rank1 else None),
-        shape=csr.shape,
-        R=R, T=T, multihot=use_rank1, staging=staging,
-        stage_tier=stage_tier, S_buf=int(S_buf), DMAX=int(DMAX),
-        n_staged=int(n_staged), n_lanes=int(n_lanes), window=window,
-        cq=cq,
-    )
+    def mk_plan(segments):
+        return FusedPlan(
+            segments=tuple(segments),
+            hot_ids=hot_ids.astype(np.int32),
+            row_scale=(row_scale.astype(np.float32) if use_rank1 else None),
+            col_scale=(col_scale.astype(np.float32) if use_rank1 else None),
+            shape=csr.shape,
+            R=R, T=T, multihot=use_rank1, staging=staging,
+            stage_tier=stage_tier, S_buf=int(S_buf), DMAX=int(DMAX),
+            n_staged=int(n_staged), n_lanes=int(n_lanes), window=window,
+            cq=cq,
+        )
+
+    plan = mk_plan(emit_all(stage_cap_rows))
+    if staging != "chunks":
+        return plan
+    # validate against the exact model; splitting adds per-segment
+    # prologue steps the pre-estimate can't see, so shrink the cap by the
+    # measured overshoot and re-emit (cheap) until it fits or the cap
+    # hits the largest un-cuttable tile group — then reject loudly
+    # instead of OOMing at run time (the round-2 failure).
+    for _ in range(4):
+        rep = plan_memory_report(plan, d=_L, hbm_limit=hbm_limit)
+        if rep["fits"]:
+            return plan
+        table_budget = rep["budget_bytes"] - (
+            rep["peak_bytes"] - int(_TABLE_HEADROOM * rep["max_table_bytes"]))
+        new_cap = int(table_budget / (512 * _TABLE_HEADROOM))
+        if new_cap >= stage_cap_rows:
+            new_cap = stage_cap_rows // 2
+        if table_budget <= 0 or new_cap < min_cap:
+            break
+        stage_cap_rows = new_cap
+        plan = mk_plan(emit_all(stage_cap_rows))
+    rep = plan_memory_report(plan, d=_L, hbm_limit=hbm_limit)
+    if rep["fits"]:
+        return plan
+    comp = ", ".join(
+        f"{k[:-6]}={rep[k] / 2**30:.2f}GiB"
+        for k in ("plan_bytes", "x_bytes", "out_bytes",
+                  "hot_bytes", "max_table_bytes"))
+    raise CapacityError(
+        f"fused plan cannot fit device HBM: peak "
+        f"{rep['peak_bytes'] / 2**30:.2f} GiB > budget "
+        f"{rep['budget_bytes'] / 2**30:.2f} GiB "
+        f"({_BUDGET_FRACTION:.0%} of {rep['hbm_bytes'] / 2**30:.1f}"
+        f" GiB HBM); components: {comp}. Reduce R/T, raise "
+        f"hot_budget, or use staging='rows' / layout='tiered'.")
 
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,

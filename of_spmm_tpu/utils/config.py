@@ -141,6 +141,13 @@ FLAGS.define_int(
     8,
     "Number of DMA semaphores the row-DMA waves cycle through.",
 )
+FLAGS.define_int(
+    "OFS_HBM_BYTES",
+    0,
+    "Per-chip HBM bytes for the fused-plan memory budget "
+    "(sparse/fused.py plan_memory_report); 0 = auto-detect from the "
+    "device (CPU plan-build hosts assume the v5e 16 GB target).",
+)
 
 
 def on_tpu() -> bool:

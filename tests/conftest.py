@@ -32,6 +32,22 @@ RTOL = 1e-4
 ATOL = 1e-5
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test; skipped unless OFS_RUN_SLOW=1 "
+        "(keeps the default suite under the 10-minute budget)")
+
+
+def pytest_collection_modifyitems(config, items):
+    if os.environ.get("OFS_RUN_SLOW"):
+        return
+    skip = pytest.mark.skip(reason="slow; set OFS_RUN_SLOW=1 to run")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.fixture(scope="session")
 def mesh8():
     import numpy as np

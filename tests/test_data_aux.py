@@ -179,12 +179,20 @@ def test_launcher_spawns_ranks(tmp_path):
         " os.environ['WORLD_SIZE'], flush=True)\n"
         "sys.exit(0)\n"
     )
-    out = subprocess.run(
-        [sys.executable, "-m", "of_spmm_tpu.distributed.launch",
-         "--nproc_per_node", "3", str(script)],
-        capture_output=True, text=True, timeout=120,
-        env={**os.environ, "PYTHONPATH": os.getcwd()},
-    )
+    # JAX_PLATFORMS=cpu: children must not touch the (single-client)
+    # tunneled TPU backend the session env may point at — contention
+    # there made this test flake nondeterministically (VERDICT r2 #9);
+    # one retry absorbs residual transient spawn failures.
+    child_env = {**os.environ, "PYTHONPATH": os.getcwd(),
+                 "JAX_PLATFORMS": "cpu"}
+    for attempt in range(2):
+        out = subprocess.run(
+            [sys.executable, "-m", "of_spmm_tpu.distributed.launch",
+             "--nproc_per_node", "3", str(script)],
+            capture_output=True, text=True, timeout=120, env=child_env,
+        )
+        if out.returncode == 0:
+            break
     assert out.returncode == 0, out.stderr
     lines = sorted(out.stdout.strip().splitlines())
     assert lines == ["0 0 3", "1 1 3", "2 2 3"]
@@ -194,7 +202,6 @@ def test_launcher_spawns_ranks(tmp_path):
     out = subprocess.run(
         [sys.executable, "-m", "of_spmm_tpu.distributed.launch",
          "--nproc_per_node", "2", str(bad)],
-        capture_output=True, text=True, timeout=120,
-        env={**os.environ, "PYTHONPATH": os.getcwd()},
+        capture_output=True, text=True, timeout=120, env=child_env,
     )
     assert out.returncode == 3

@@ -129,7 +129,14 @@ def test_dist_spmm_split_boundary_matches(mesh8):
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("impl", ["xla", "pallas"])
+@pytest.mark.parametrize(
+    "impl",
+    ["xla",
+     # interpreted Pallas inside an 8-way shard_map backward is ~4.6 min
+     # on CI hardware — out of the default budget (VERDICT r2 #9); the
+     # xla variant covers the partition logic, the kernel is covered by
+     # single-device pallas tests. OFS_RUN_SLOW=1 runs it.
+     pytest.param("pallas", marks=pytest.mark.slow)])
 def test_dist_spmm_hub_replication(impl):
     """Degree-aware partition: hub columns broadcast instead of riding the
     pairwise halo; halo H shrinks and results stay exact (VERDICT r1

@@ -67,6 +67,42 @@ def test_fused_plan_multi_segment():
                                atol=ATOL * np.abs(want).max() + ATOL)
 
 
+def test_fused_plan_hbm_budget_splits_and_rejects():
+    """Plan-time memory planning (VERDICT r2 item 1): a tight HBM limit
+    must cut segments so the largest staged table fits the budget model
+    (sparse/fused.py plan_memory_report), and an impossible limit must
+    raise CapacityError instead of OOMing at run time (the reference
+    plans memory at compile time: oneflow/core/job/compiler.cpp:107)."""
+    from of_spmm_tpu.sparse.fused import plan_memory_report
+    from of_spmm_tpu.utils.errors import CapacityError
+
+    dense, csr = _graph(1500, 1500, 0.03, rank1=True, seed=9)
+    big = build_fused_plan(csr, R=128, T=256, hot_budget=0, s_cap=256,
+                           hbm_limit=1 << 40)
+    rep = plan_memory_report(big, d=128, hbm_limit=1 << 40)
+    assert rep["fits"]
+    fixed = rep["peak_bytes"] - int(1.5 * rep["max_table_bytes"])
+    # limit sized so the per-segment staged table must shrink ~3x
+    cap_bytes = int(1.5 * rep["max_table_bytes"] / 3)
+    tight_limit = int((fixed + cap_bytes) / 0.80) + 1
+    tight = build_fused_plan(csr, R=128, T=256, hot_budget=0, s_cap=256,
+                             hbm_limit=tight_limit)
+    assert len(tight.segments) > len(big.segments)
+    rep_t = plan_memory_report(tight, d=128, hbm_limit=tight_limit)
+    assert rep_t["fits"]
+    assert rep_t["max_table_bytes"] < rep["max_table_bytes"]
+    # numerics unchanged by the re-segmentation
+    x = np.random.default_rng(6).standard_normal((1500, 8)).astype(
+        np.float32)
+    np.testing.assert_allclose(
+        simulate(tight, x), dense @ x, rtol=RTOL,
+        atol=ATOL * np.abs(dense @ x).max() + ATOL)
+    # an impossible budget (below the fixed plan-array cost) rejects
+    with pytest.raises(CapacityError, match="cannot fit"):
+        build_fused_plan(csr, R=128, T=256, hot_budget=0, s_cap=256,
+                         hbm_limit=int(fixed * 0.5))
+
+
 def test_hot_cache_cuts_staging():
     dense, csr = _graph(1200, 1200, 0.008, skew=True, rank1=True, seed=9)
     cold = build_fused_plan(csr, R=128, T=256, hot_budget=0)
