@@ -59,10 +59,15 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         ly_key = f"|ly-exp3-R{DEFAULT_R}-T{DEFAULT_TILE}-C{DEFAULT_CW}"
     elif layout == "fused":
         from of_spmm_tpu.sparse.fused import (
-            DEFAULT_HOT_BUDGET, DEFAULT_R as FR, DEFAULT_T as FT)
+            _BIG_T, _BIG_T_NNZ, DEFAULT_HOT_BUDGET, DEFAULT_R as FR,
+            DEFAULT_SEG_STEPS, DEFAULT_T)
+        from of_spmm_tpu.data.graphs import NAMED_CONFIGS
+        from of_spmm_tpu.utils.config import FLAGS
 
-        from of_spmm_tpu.sparse.fused import DEFAULT_SEG_STEPS
-
+        cfg_n = NAMED_CONFIGS[name]
+        nnz_est = 2 * cfg_n.n_edges  # symmetrized
+        FT = int(FLAGS.get("OFS_FUSED_T")) or (
+            _BIG_T if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
         ly_key = (f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
                   f"-chunks-ss{DEFAULT_SEG_STEPS}-v12")
     else:

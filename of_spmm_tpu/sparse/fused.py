@@ -495,10 +495,18 @@ def factor_rank1(csr: CSR, rtol: float = 1e-6):
     return _f(csr, rtol=rtol)
 
 
+_BIG_T = 4096            # lanes/step for big graphs (T=None adaptive pick):
+#                          the per-step grid/stream floor (~3 us, PROFILE_r02
+#                          addendum) amortizes over 4x more lanes; small
+#                          graphs keep T=1024 (few lanes per tile — bigger
+#                          steps would only pad)
+_BIG_T_NNZ = 16_000_000
+
+
 def build_fused_plan(
     csr: CSR,
     R: int = DEFAULT_R,
-    T: int = DEFAULT_T,
+    T: Optional[int] = None,
     hot_budget: int = DEFAULT_HOT_BUDGET,
     hot_min_run: int = DEFAULT_HOT_MIN_RUN,
     seg_steps: int = DEFAULT_SEG_STEPS,
@@ -521,6 +529,11 @@ def build_fused_plan(
     ops, at the price of one serialized take pass per segment."""
     if staging not in ("rows", "chunks"):
         raise ValueError(f"staging must be rows|chunks, got {staging!r}")
+    if T is None:
+        from of_spmm_tpu.utils.config import FLAGS
+
+        T = int(FLAGS.get("OFS_FUSED_T")) or (
+            _BIG_T if csr.nnz >= _BIG_T_NNZ else DEFAULT_T)
     n, m = csr.shape
     G = T // _L
     indptr = np.asarray(csr.indptr, dtype=np.int64)
@@ -691,9 +704,13 @@ def build_fused_plan(
         u = tiles_meta[t][0]
         return u[1].shape[0] if isinstance(u, tuple) else u.shape[0]
 
-    # chunks mode moves cq rows per DMA: budget in DMA ops
+    # chunks mode moves cq rows per DMA: budget in DMA ops. The cap
+    # scales with T (r2 addendum: a fixed 32-chunk/step budget kept
+    # big-T steps staging-bound, padding lanes ~4x — the per-step DMA
+    # budget must grow with the per-step lane budget for steps to stay
+    # compute-sized).
     dma_quantum = cq if staging == "chunks" else 1
-    dma_cap = 32 if staging == "chunks" else DMAX_CAP
+    dma_cap = (32 * max(T // 1024, 1)) if staging == "chunks" else DMAX_CAP
     steps_of = []
     for t in range(n_meta):
         need_c = max(tiles_meta[t][1].shape[0] // G, 1)

@@ -142,6 +142,12 @@ FLAGS.define_int(
     "Number of DMA semaphores the row-DMA waves cycle through.",
 )
 FLAGS.define_int(
+    "OFS_FUSED_T",
+    0,
+    "Force the fused-engine lanes-per-step T (sparse/fused.py); "
+    "0 = adaptive (4096 for graphs >= 16M nnz, else 1024).",
+)
+FLAGS.define_int(
     "OFS_HBM_BYTES",
     0,
     "Per-chip HBM bytes for the fused-plan memory budget "
