@@ -57,7 +57,7 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
             DEFAULT_CW, DEFAULT_R, DEFAULT_TILE)
 
         ly_key = f"|ly-exp3-R{DEFAULT_R}-T{DEFAULT_TILE}-C{DEFAULT_CW}"
-    elif layout == "fused":
+    elif layout in ("fused", "ranges"):
         from of_spmm_tpu.sparse.fused import (
             _BIG_T, _BIG_T_NNZ, DEFAULT_HOT_BUDGET, DEFAULT_R as FR,
             DEFAULT_SEG_STEPS, DEFAULT_T)
@@ -68,8 +68,15 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         nnz_est = 2 * cfg_n.n_edges  # symmetrized
         FT = int(FLAGS.get("OFS_FUSED_T")) or (
             _BIG_T if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
-        ly_key = (f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
-                  f"-chunks-ss{DEFAULT_SEG_STEPS}-v12")
+        if layout == "ranges":
+            from of_spmm_tpu.sparse.ranges import (
+                DEFAULT_RANGE_CAP, DEFAULT_S_CAP)
+
+            ly_key = (f"|ly-ranges-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
+                      f"-rc{DEFAULT_RANGE_CAP}-sc{DEFAULT_S_CAP}-v1")
+        else:
+            ly_key = (f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
+                      f"-chunks-ss{DEFAULT_SEG_STEPS}-v12")
     else:
         ly_key = f"|ly-{layout}" if layout != "auto" else ""
     op, nnz, shape = cached(
@@ -83,10 +90,19 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
 
     from of_spmm_tpu.sparse.expansion import ExpansionPlan
     from of_spmm_tpu.sparse.fused import FusedPlan
+    from of_spmm_tpu.sparse.ranges import RangesPlan
 
     if isinstance(op.binned, TieredEll):
         layout_s = f"tiered x{len(op.binned.tiers)}"
         widths = sorted({b.width for t in op.binned.tiers for b in t.buckets})
+    elif isinstance(op.binned, RangesPlan):
+        p = op.binned
+        layout_s = (f"ranges R={p.R} T={p.T} hot={p.n_hot} RC={p.RC} "
+                    f"ranges={p.n_ranges} "
+                    f"range_rows={p.n_range_rows/1e6:.1f}M "
+                    f"scattered={p.n_scattered/1e6:.1f}M "
+                    f"lanes={p.n_lanes/1e6:.1f}M multihot={p.multihot}")
+        widths = []
     elif isinstance(op.binned, FusedPlan):
         p = op.binned
         layout_s = (f"fused R={p.R} T={p.T} hot={p.n_hot} "
@@ -335,7 +351,7 @@ def main():
                     help="column tier size override (sparse/tiled.py)")
     ap.add_argument("--layout", default="auto",
                     choices=("auto", "binned", "tiered", "expansion",
-                             "fused"),
+                             "fused", "ranges"),
                     help="plan layout (ops/autograd.py make_operator)")
     ap.add_argument("--op", default="spmm", choices=("spmm", "spgemm"),
                     help="which benchmark to run")
@@ -368,13 +384,20 @@ def main():
 
     meta = {}
     if args.layout == "auto" and set(impls) == {"xla", "pallas"}:
-        # each impl on its measured-best layout (see sparse/expansion.py
-        # rate table): XLA on the tiered/binned auto choice, the Pallas
-        # fused staging engine on the fused plan.
+        # each impl on its measured-best layout: XLA on the tiered/binned
+        # auto choice; the Pallas engines on their own plans — the r3
+        # range-staging engine (flagship) and the r2 fused staging engine
+        # (fallback). All three report; the best wins the headline and
+        # any failure is surfaced in the JSON.
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=("xla",), tier_size=args.tier_size,
                               layout="auto")
         meta["auto"] = results.pop("_meta", {})
+        rng_r = bench_graph(args.graph, d=args.d, iters=args.iters,
+                            impls=("pallas",), tier_size=args.tier_size,
+                            layout="ranges")
+        meta["ranges"] = rng_r.pop("_meta", {})
+        results.update({"pallas-ranges": v for v in rng_r.values()})
         exp = bench_graph(args.graph, d=args.d, iters=args.iters,
                           impls=("pallas",), tier_size=args.tier_size,
                           layout="fused")

@@ -220,23 +220,27 @@ def make_operator(
     def _place(op):
         return place_operator(op) if place else op
 
-    if layout not in ("auto", "binned", "tiered", "expansion", "fused"):
+    if layout not in ("auto", "binned", "tiered", "expansion", "fused",
+                      "ranges"):
         raise ValueError(
-            "layout must be auto|binned|tiered|expansion|fused, "
+            "layout must be auto|binned|tiered|expansion|fused|ranges, "
             f"got {layout!r}")
     from of_spmm_tpu.sparse.tiled import DEFAULT_TIER_SIZE, bin_rows_tiered
 
     ts = tier_size or DEFAULT_TIER_SIZE
     if layout == "auto":
         layout = "tiered" if csr.shape[1] > ts else "binned"
-    if layout == "fused":
-        from of_spmm_tpu.sparse.fused import build_fused_plan
+    if layout in ("fused", "ranges"):
+        if layout == "ranges":
+            from of_spmm_tpu.sparse.ranges import build_ranges_plan as _bp
+        else:
+            from of_spmm_tpu.sparse.fused import build_fused_plan as _bp
 
-        plan = build_fused_plan(csr)
+        plan = _bp(csr)
         if csr.shape[0] == csr.shape[1] and _is_symmetric(csr):
             plan_t = plan
         else:
-            plan_t = build_fused_plan(csr.transpose())
+            plan_t = _bp(csr.transpose())
         return _place(SpmmOperator(
             binned=plan,
             binned_t=plan_t,
@@ -363,6 +367,13 @@ def _spmm_impl(binned, x: jnp.ndarray, impl: str) -> jnp.ndarray:
     from of_spmm_tpu.sparse.fused import FusedPlan
     from of_spmm_tpu.sparse.tiled import TieredEll
 
+    from of_spmm_tpu.sparse.ranges import RangesPlan
+
+    if isinstance(binned, RangesPlan):
+        # range-staging engine — the layout IS the implementation
+        from of_spmm_tpu.ops.pallas.ranges import spmm_ranges
+
+        return spmm_ranges(binned, x)
     if isinstance(binned, FusedPlan):
         # fused staging+compute engine — the layout IS the implementation
         from of_spmm_tpu.ops.pallas.fused import spmm_fused

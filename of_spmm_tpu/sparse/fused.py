@@ -487,6 +487,42 @@ def choose_hot(csr: CSR, R: int, hot_budget: int, min_run: int,
     return cand[: keep * _L]
 
 
+def coalesce_duplicates(csr: CSR) -> CSR:
+    """Merge duplicate (row, col) entries by summing values.
+
+    Duplicates cannot ride the multi-hot bitmask lanes (a bit has no
+    multiplicity — bitwise_or silently drops the second copy). The summed
+    value then no longer factors as r_i*c_j, so rank-1 folding turns
+    itself off and explicit-value lanes carry the merged weight."""
+    n, m = csr.shape
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols_all = np.asarray(csr.cols, dtype=np.int64)
+    vals_all = np.asarray(csr.vals, dtype=np.float32)
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    key = rows_all * m + cols_all
+    if key.shape[0] and bool(np.all(key[1:] >= key[:-1])):
+        vals_s, ks = vals_all, key  # row-sorted cols: no sort needed
+    elif key.shape[0]:
+        order = np.argsort(key, kind="stable")
+        ks = key[order]
+        vals_s = vals_all[order]
+    else:
+        vals_s, ks = vals_all, key
+    if not (ks.shape[0] and int((ks[1:] == ks[:-1]).sum())):
+        return csr
+    keep = np.concatenate([[True], ks[1:] != ks[:-1]])
+    seg_id = np.cumsum(keep) - 1
+    vals_c = np.zeros(int(seg_id[-1]) + 1, np.float32)
+    np.add.at(vals_c, seg_id, vals_s)
+    ku = ks[keep]
+    rows_u = ku // m
+    cols_u = ku - rows_u * m
+    indptr2 = np.zeros(n + 1, np.int64)
+    np.cumsum(np.bincount(rows_u, minlength=n), out=indptr2[1:])
+    return CSR(indptr=indptr2, cols=cols_u.astype(np.int32),
+               vals=vals_c, shape=csr.shape)
+
+
 def factor_rank1(csr: CSR, rtol: float = 1e-6):
     """vals[e] = r[row[e]] * c[col[e]] detection — shared with expansion2
     (the framework's normalized adjacencies are exactly this form)."""
@@ -536,40 +572,12 @@ def build_fused_plan(
             _BIG_T if csr.nnz >= _BIG_T_NNZ else DEFAULT_T)
     n, m = csr.shape
     G = T // _L
+    n_tiles = max(-(-n // R), 1)
+
+    csr = coalesce_duplicates(csr)
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     cols_all = np.asarray(csr.cols, dtype=np.int64)
     vals_all = np.asarray(csr.vals, dtype=np.float32)
-    n_tiles = max(-(-n // R), 1)
-
-    # duplicate (row, col) entries cannot ride the multi-hot bitmask
-    # lanes (a bit has no multiplicity — bitwise_or silently drops the
-    # second copy). Coalesce them up front; the summed value then no
-    # longer factors as r_i*c_j, so rank-1 folding turns itself off and
-    # the explicit-value lanes carry the merged weight correctly.
-    rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
-    key = rows_all * m + cols_all
-    if key.shape[0] and bool(np.all(key[1:] >= key[:-1])):
-        vals_s, ks = vals_all, key  # row-sorted cols: no sort needed
-    elif key.shape[0]:
-        order = np.argsort(key, kind="stable")
-        ks = key[order]
-        vals_s = vals_all[order]
-    else:
-        vals_s, ks = vals_all, key
-    if ks.shape[0] and int((ks[1:] == ks[:-1]).sum()):
-        keep = np.concatenate([[True], ks[1:] != ks[:-1]])
-        seg_id = np.cumsum(keep) - 1
-        vals_c = np.zeros(int(seg_id[-1]) + 1, np.float32)
-        np.add.at(vals_c, seg_id, vals_s)
-        ku = ks[keep]
-        rows_u = ku // m
-        cols_all = ku - rows_u * m
-        vals_all = vals_c
-        indptr = np.zeros(n + 1, np.int64)
-        np.cumsum(np.bincount(rows_u, minlength=n), out=indptr[1:])
-        csr = CSR(indptr=indptr, cols=cols_all.astype(np.int32),
-                  vals=vals_all, shape=csr.shape)
-    del rows_all, key, ks, vals_s
 
     factors = factor_rank1(csr) if rank1 in (None, True) else None
     if rank1 is True and factors is None:

@@ -1,0 +1,156 @@
+"""Ranges-engine plan build + numpy step simulator vs the dense oracle.
+
+The simulator (sparse/ranges_sim.py) replays the exact kernel schedule
+(range block copies, scattered row DMAs, parity buffers, hi/lo splits,
+multi-hot windows), so these tests pin the PLAN's correctness
+independently of the Pallas kernel — the fused-engine test strategy
+(tests/test_fused_plan.py)."""
+
+import numpy as np
+import pytest
+
+from of_spmm_tpu.sparse.formats import CSR
+from of_spmm_tpu.sparse.ranges import build_ranges_plan
+from of_spmm_tpu.sparse.ranges_sim import simulate
+
+RTOL, ATOL = 1e-4, 1e-5
+
+
+def _graph(n, m, density, seed=0, rank1=False, skew=False, banded=0.0):
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n, m)) < density).astype(np.float32)
+    if banded:
+        # community-style locality: extra mass near the diagonal band
+        for i in range(n):
+            lo = max(0, (i * m // n) - 64)
+            band = rng.random(min(128, m - lo)) < banded
+            dense[i, lo:lo + band.shape[0]] += band
+        dense = (dense > 0).astype(np.float32)
+    if skew:
+        hubs = rng.choice(m, size=max(m // 50, 1), replace=False)
+        dense[:, hubs] = (rng.random((n, hubs.shape[0])) < 0.6).astype(
+            np.float32)
+    if rank1:
+        r = rng.random(n).astype(np.float32) + 0.5
+        c = rng.random(m).astype(np.float32) + 0.5
+        dense = dense * r[:, None] * c[None, :]
+    else:
+        dense = dense * rng.random((n, m)).astype(np.float32)
+    return dense, CSR.from_dense(dense)
+
+
+def _check(plan, dense, d=8, seed=1):
+    x = np.random.default_rng(seed).standard_normal(
+        (dense.shape[1], d)).astype(np.float32)
+    got = simulate(plan, x)
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+@pytest.mark.parametrize("rank1", [False, True])
+def test_ranges_sim_single_range(rank1):
+    """Whole matrix fits one range window: no scattered, no hot."""
+    dense, csr = _graph(768, 768, 0.02, rank1=rank1, seed=3)
+    plan = build_ranges_plan(csr, T=256, hot_budget=0)
+    assert plan.n_ranges == 1
+    assert plan.n_scattered == 0
+    _check(plan, dense)
+
+
+@pytest.mark.parametrize("rank1", [False, True])
+def test_ranges_sim_switching_and_scattered(rank1):
+    """Small range window on a banded graph: ranges must switch as tiles
+    advance, and off-band columns ride the scattered path."""
+    dense, csr = _graph(1024, 1024, 0.004, rank1=rank1, seed=5,
+                        banded=0.3)
+    plan = build_ranges_plan(csr, T=256, hot_budget=0, range_cap=256)
+    assert plan.n_ranges > 2
+    assert plan.n_scattered > 0
+    _check(plan, dense)
+
+
+def test_ranges_sim_hot_and_skew():
+    dense, csr = _graph(900, 900, 0.01, skew=True, rank1=True, seed=7,
+                        banded=0.2)
+    plan = build_ranges_plan(csr, T=256, hot_budget=512, hot_min_run=2,
+                             range_cap=256)
+    assert plan.n_hot > 0
+    _check(plan, dense)
+
+
+def test_ranges_multi_segment():
+    dense, csr = _graph(1024, 1024, 0.01, rank1=True, seed=9, banded=0.3)
+    plan = build_ranges_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             seg_steps=8)
+    assert len(plan.segments) > 1
+    _check(plan, dense)
+
+
+def test_ranges_scattered_overflow_pieces():
+    """Scattered unique count beyond s_cap splits into virtual tiles."""
+    dense, csr = _graph(512, 2048, 0.15, rank1=True, seed=11)
+    plan = build_ranges_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             s_cap=256)
+    # at least one output tile must have been split
+    n_meta = sum(seg.n_steps for seg in plan.segments)
+    assert plan.n_scattered > 256
+    _check(plan, dense)
+
+
+def test_ranges_duplicate_edges_coalesce():
+    rng = np.random.default_rng(13)
+    n = 400
+    rows = rng.integers(0, n, 4000)
+    cols = rng.integers(0, n, 4000)
+    vals = rng.random(4000).astype(np.float32)
+    from of_spmm_tpu.sparse.formats import COO
+
+    csr = CSR.from_coo(COO.from_arrays(
+        rows.astype(np.int32), cols.astype(np.int32), vals, (n, n)))
+    dense = np.zeros((n, n), np.float32)
+    np.add.at(dense, (rows, cols), vals)
+    plan = build_ranges_plan(csr, T=256, hot_budget=0, range_cap=256)
+    _check(plan, dense)
+
+
+def test_ranges_operator_spmm_and_grad():
+    """layout=\"ranges\" through the operator API: forward + transpose-plan
+    backward via the existing custom_vjp pairing
+    (oneflow/core/autograd/gradient_funcs/gather.cpp:62-73)."""
+    import jax
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.autograd import make_operator, spmm
+
+    dense, csr = _graph(600, 600, 0.02, rank1=True, seed=21, banded=0.2)
+    op = make_operator(csr, layout="ranges", place=False)
+    x = np.random.default_rng(7).standard_normal((600, 16)).astype(
+        np.float32)
+    w = np.random.default_rng(8).standard_normal((600, 16)).astype(
+        np.float32)
+    y = spmm(op, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=ATOL * np.abs(dense @ x).max() + ATOL)
+    g = jax.grad(lambda xx: jnp.sum(spmm(op, xx) * w))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
+                               atol=ATOL * np.abs(dense.T @ w).max() + ATOL)
+
+
+@pytest.mark.parametrize("rank1", [False, True])
+def test_ranges_kernel_matches_dense(rank1):
+    """Interpret-mode Pallas kernel vs dense (wide features + segments)."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.ranges import spmm_ranges
+
+    dense, csr = _graph(640, 640, 0.01, rank1=rank1, seed=15, banded=0.3)
+    plan = build_ranges_plan(csr, T=256, hot_budget=256, hot_min_run=1,
+                             range_cap=256, seg_steps=16)
+    assert len(plan.segments) > 1 and plan.n_ranges > 1
+    x = np.random.default_rng(2).standard_normal((640, 160)).astype(
+        np.float32)
+    got = np.asarray(spmm_ranges(plan, jnp.asarray(x)))
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
