@@ -73,7 +73,7 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
                 DEFAULT_RANGE_CAP, DEFAULT_S_CAP)
 
             ly_key = (f"|ly-ranges-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
-                      f"-rc{DEFAULT_RANGE_CAP}-sc{DEFAULT_S_CAP}-v1")
+                      f"-rc{DEFAULT_RANGE_CAP}-sc{DEFAULT_S_CAP}-v2")
         else:
             ly_key = (f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
                       f"-chunks-ss{DEFAULT_SEG_STEPS}-v12")

@@ -182,6 +182,7 @@ def make_operator(
     layout: str = "auto",
     tier_size: Optional[int] = None,
     keep_coo: bool = True,
+    reorder: Optional[str] = None,
 ) -> SpmmOperator:
     """Build the plan: bin A and A^T (host-side, once per graph).
 
@@ -236,11 +237,20 @@ def make_operator(
         else:
             from of_spmm_tpu.sparse.fused import build_fused_plan as _bp
 
-        plan = _bp(csr)
-        if csr.shape[0] == csr.shape[1] and _is_symmetric(csr):
+        ofn = nfo = None
+        pcsr = csr
+        if reorder:
+            # locality relabeling (sparse/reorder.py): the plan layouts
+            # live in cluster-contiguous internal ids; the operator maps
+            # node-space tensors at its boundary like the binned relabel
+            from of_spmm_tpu.sparse.reorder import reorder_locality
+
+            pcsr, ofn, nfo = reorder_locality(csr, method=reorder)
+        plan = _bp(pcsr)
+        if pcsr.shape[0] == pcsr.shape[1] and _is_symmetric(pcsr):
             plan_t = plan
         else:
-            plan_t = _bp(csr.transpose())
+            plan_t = _bp(pcsr.transpose())
         return _place(SpmmOperator(
             binned=plan,
             binned_t=plan_t,
@@ -248,6 +258,7 @@ def make_operator(
             coo_cols=coo.cols,
             coo_vals=coo.vals,
             shape=csr.shape,
+            old_from_new=ofn, new_from_old=nfo,
         ))
     if layout == "expansion":
         from of_spmm_tpu.sparse.expansion import build_expansion_plan

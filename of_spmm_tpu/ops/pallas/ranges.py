@@ -148,10 +148,11 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
     @pl.when(jnp.logical_and(do_comp, r_first == 1))
     def _():
         for c0 in range(0, RC, SPLIT_CHUNK):
-            rbuf = range_f32[pl.ds(r_read + c0, SPLIT_CHUNK), :]
+            roff = pl.multiple_of(r_read + c0, _L)
+            rbuf = range_f32[pl.ds(roff, SPLIT_CHUNK), :]
             hi = rbuf.astype(jnp.bfloat16)
             lo = (rbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-            woff = H_blocks * _L + r_read + c0
+            woff = pl.multiple_of(H_blocks * _L + r_read + c0, _L)
             hilo[pl.ds(woff, SPLIT_CHUNK), 0:_L] = hi
             hilo[pl.ds(woff, SPLIT_CHUNK), _L:2 * _L] = lo
 
@@ -163,10 +164,12 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
         for c0 in range(0, S_buf, S_CHUNK):
             @pl.when(c0 < s_rows)
             def _(c0=c0):
-                sbuf = scat_f32[pl.ds(s_read + c0, S_CHUNK), :]
+                soff = pl.multiple_of(s_read + c0, _L)
+                sbuf = scat_f32[pl.ds(soff, S_CHUNK), :]
                 hi = sbuf.astype(jnp.bfloat16)
                 lo = (sbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                woff = (H_blocks * _L + 2 * RC + s_read + c0)
+                woff = pl.multiple_of(
+                    H_blocks * _L + 2 * RC + s_read + c0, _L)
                 hilo[pl.ds(woff, S_CHUNK), 0:_L] = hi
                 hilo[pl.ds(woff, S_CHUNK), _L:2 * _L] = lo
 

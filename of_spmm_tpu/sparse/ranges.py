@@ -54,6 +54,13 @@ DMAX_CAP = 640               # scattered row-DMAs per step (wave multiple)
 RMAX_CAP = 16                # range chunk copies per step
 _KEEP_FRAC = 0.90            # keep the current range while it covers this
 #                              fraction of the tile's best-window mass
+DEFAULT_MIN_BLOCK = 48       # a tile keeps a range 128-row block only if
+#                              >= this many of its edges land there; thin
+#                              blocks would each pad to a full 128-lane
+#                              group (measured 5.7x lane blowup on
+#                              ogbn-arxiv without demotion), so their
+#                              edges ride the densely-packed scattered
+#                              path instead
 
 
 @jax.tree_util.register_pytree_node_class
@@ -192,6 +199,7 @@ def build_ranges_plan(
     rank1: Optional[bool] = None,
     dma_wave: int = 64,
     rq: int = DEFAULT_RQ,
+    min_block: int = DEFAULT_MIN_BLOCK,
 ) -> RangesPlan:
     """Host-side range-staging plan build (numpy + native pass-1)."""
     if T is None:
@@ -285,6 +293,16 @@ def build_ranges_plan(
         lo_r = range_lo[cur_range]
 
         in_range = (~is_hot) & (c >= lo_r) & (c < lo_r + RC)
+        if min_block > 1 and np.any(in_range):
+            # thin-block demotion: keep only the range blocks where this
+            # tile's edges are dense enough to fill one-hot lane groups;
+            # thin blocks' edges move to the packed scattered path
+            rblk = (c[in_range] - lo_r) // _L
+            per_blk = np.bincount(rblk, minlength=RC // _L)
+            dense_blk = per_blk >= min_block
+            keep = np.zeros(c.shape[0], bool)
+            keep[in_range] = dense_blk[rblk]
+            in_range = keep
         is_scat = (~is_hot) & ~in_range
         c_scat = c[is_scat]
         scat_u, scat_inv = np.unique(c_scat, return_inverse=True)

@@ -1,0 +1,199 @@
+"""Locality reordering: cluster-recovering row/column relabeling.
+
+The range-staging engine (sparse/ranges.py) is fast exactly when the
+columns each output tile references concentrate in contiguous id bands.
+Real co-purchase/social graphs have that structure (communities), but
+only if node ids are laid out cluster-contiguously — raw dataset ids
+usually aren't. This pass recovers the layout: a degree-seeded BFS
+(Cuthill–McKee) permutation places each vertex next to its neighbors, so
+clusters land in contiguous id ranges and the plan's windows cover them.
+
+The round-2 profile identified this as the only route past ~0.4 of the
+HBM roofline: random-row gathers are latency-bound (~282 GB/s effective
+on 512 B rows), while clustered columns ride contiguous block DMAs
+(PROFILE_r02.md). Relabeling reuses the operator's existing
+old_from_new/new_from_old machinery (ops/autograd.py SpmmOperator), so
+the public API stays in node space.
+
+The reference has no clustering pass; its per-edge-atomic CUDA scatter
+(oneflow/user/kernels/unsorted_segment_sum_kernel_util.cu:52-151) is
+insensitive to ordering. On TPU, ordering IS the performance model.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import numpy as np
+
+from of_spmm_tpu.sparse.formats import CSR
+
+
+def bfs_order(csr: CSR, seed_by: str = "min_degree") -> np.ndarray:
+    """Cuthill–McKee-style BFS permutation.
+
+    Returns ``old_from_new``: position k holds the OLD id placed at new
+    id k. Vectorized frontier expansion (numpy per level, O(E) total);
+    each connected component is seeded by its minimum-degree vertex —
+    low-degree periphery first keeps each BFS shell (and therefore each
+    id band) tight.
+    """
+    n = csr.shape[0]
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols = np.asarray(csr.cols, dtype=np.int64)
+    deg = np.diff(indptr)
+    visited = np.zeros(n, dtype=bool)
+    order = np.empty(n, dtype=np.int64)
+    pos = 0
+    # seeds in degree order (argsort once; skip visited as we go)
+    if seed_by == "min_degree":
+        seed_seq = np.argsort(deg, kind="stable")
+    else:
+        seed_seq = np.arange(n)
+    seed_ptr = 0
+    while pos < n:
+        while seed_ptr < n and visited[seed_seq[seed_ptr]]:
+            seed_ptr += 1
+        if seed_ptr >= n:
+            # numerical safety: append any stragglers
+            rest = np.nonzero(~visited)[0]
+            order[pos:pos + rest.shape[0]] = rest
+            visited[rest] = True
+            pos += rest.shape[0]
+            break
+        frontier = np.asarray([seed_seq[seed_ptr]], dtype=np.int64)
+        visited[frontier] = True
+        while frontier.shape[0]:
+            # place this shell in degree order (Cuthill–McKee rule)
+            shell = frontier[np.argsort(deg[frontier], kind="stable")]
+            order[pos:pos + shell.shape[0]] = shell
+            pos += shell.shape[0]
+            # expand: all neighbors of the shell, vectorized
+            starts = indptr[shell]
+            lens = deg[shell]
+            total = int(lens.sum())
+            if total == 0:
+                break
+            base = np.repeat(starts - np.concatenate(
+                [[0], np.cumsum(lens)[:-1]]), lens)
+            nbr = cols[base + np.arange(total)]
+            nbr = nbr[~visited[nbr]]
+            if nbr.shape[0] == 0:
+                break
+            frontier = np.unique(nbr)
+            visited[frontier] = True
+    return order
+
+
+def label_prop_order(csr: CSR, iters: int = 8,
+                     seed: int = 0) -> np.ndarray:
+    """Community-recovering permutation via label propagation.
+
+    Each round every vertex adopts the most common label among its
+    neighbors (ties broken toward the smaller label); labels converge to
+    communities in a few rounds on modular graphs. The permutation sorts
+    by (final label, vertex id), making every recovered community a
+    contiguous id range — exactly what the ranges engine's windows want.
+    BFS (bfs_order) keeps shells tight but hops across communities
+    through stray inter-cluster edges; label propagation recovers the
+    blocks themselves. Vectorized: one lexsort + segment-argmax per
+    round, O(E log E).
+    """
+    n = csr.shape[0]
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols = np.asarray(csr.cols, dtype=np.int64)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    labels = np.arange(n, dtype=np.int64)
+    for _ in range(iters):
+        lab = labels[cols]
+        order = np.lexsort((lab, rows))
+        r_s, l_s = rows[order], lab[order]
+        # count runs of equal (row, label)
+        new_run = np.empty(r_s.shape[0], dtype=bool)
+        if r_s.shape[0] == 0:
+            break
+        new_run[0] = True
+        new_run[1:] = (r_s[1:] != r_s[:-1]) | (l_s[1:] != l_s[:-1])
+        run_id = np.cumsum(new_run) - 1
+        run_len = np.bincount(run_id)
+        run_row = r_s[new_run]
+        run_lab = l_s[new_run]
+        # per row: label of the longest run (lexsort put smaller labels
+        # first, so the first maximal run breaks ties toward them)
+        improve = np.zeros(n, dtype=np.int64)
+        np.maximum.at(improve, run_row, run_len)
+        is_best = run_len == improve[run_row]
+        idx = np.nonzero(is_best)[0]
+        rr = run_row[idx]
+        keep = np.concatenate([[True], rr[1:] != rr[:-1]])
+        sel = idx[keep]
+        new_labels = labels.copy()
+        new_labels[run_row[sel]] = run_lab[sel]
+        if np.array_equal(new_labels, labels):
+            break
+        labels = new_labels
+    return np.lexsort((np.arange(n), labels)).astype(np.int64)
+
+
+def reorder_locality(csr: CSR, method: str = "lp"
+                     ) -> Tuple[CSR, np.ndarray, np.ndarray]:
+    """(relabeled P·A·Pᵀ, old_from_new, new_from_old).
+
+    Square matrices only (rows and columns are the same vertex set); the
+    permutation applies to both so the relabeled adjacency keeps the
+    gather×segment-sum semantics under to_internal/from_internal.
+    """
+    n, m = csr.shape
+    if n != m:
+        raise ValueError(
+            f"reorder_locality needs a square adjacency, got {csr.shape}")
+    if method in ("lp", "bfs+lp", True):
+        old_from_new = label_prop_order(csr)
+    elif method == "bfs":
+        old_from_new = bfs_order(csr)
+    elif method == "identity":
+        old_from_new = np.arange(n, dtype=np.int64)
+    else:
+        raise ValueError(f"unknown reorder method {method!r} "
+                         "(want lp|bfs|identity)")
+    new_from_old = np.empty(n, dtype=np.int64)
+    new_from_old[old_from_new] = np.arange(n, dtype=np.int64)
+
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols = np.asarray(csr.cols, dtype=np.int64)
+    vals = np.asarray(csr.vals, dtype=np.float32)
+    rows = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    from of_spmm_tpu.sparse.formats import COO
+
+    relabeled = CSR.from_coo(COO.from_arrays(
+        new_from_old[rows].astype(np.int32),
+        new_from_old[cols].astype(np.int32),
+        vals, csr.shape))
+    return relabeled, old_from_new, new_from_old
+
+
+def locality_stats(csr: CSR, R: int = 128, window: int = 12288) -> dict:
+    """Plan-free locality diagnostics: how much of each R-row tile's
+    column mass the densest ``window``-row band would capture.
+
+    Fast proxy for the ranges-plan quality (sparse/ranges.py picks the
+    same windows); used to measure reordering gains without a full plan
+    build."""
+    from of_spmm_tpu.sparse.ranges import _best_window
+
+    n, m = csr.shape
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols = np.asarray(csr.cols, dtype=np.int64)
+    n_tiles = max(-(-n // R), 1)
+    covered = 0
+    total = 0
+    w = min(window, m)
+    for t in range(n_tiles):
+        lo, hi = indptr[t * R], indptr[min((t + 1) * R, n)]
+        c = np.sort(cols[lo:hi])
+        u, cnt = np.unique(c, return_counts=True)
+        _, mass = _best_window(u, cnt, m, w)
+        covered += mass
+        total += c.shape[0]
+    return {"tiles": n_tiles, "window": w,
+            "band_coverage": covered / max(total, 1)}
