@@ -61,17 +61,45 @@ def _local_binned(plan: RowPartitionPlan, buckets) -> BinnedEll:
     return BinnedEll(
         buckets=ell,
         shape=(plan.rows_per_shard,
-               plan.cols_per_shard + plan.n_shards * plan.halo_size
-               + plan.n_hubs),
+               plan.cols_per_shard + plan.halo_rows_total + plan.n_hubs),
         has_split_rows=True,  # conservative: always combine via scatter-add
     )
 
 
 def pad_x_for_plan(plan: RowPartitionPlan, x: jnp.ndarray) -> jnp.ndarray:
-    """Pad global X rows to S * cols_per_shard (zeros are never referenced)."""
+    """Lay global X rows out as the padded (S*cols_per_shard, d) shard grid.
+
+    Uniform plans just zero-pad the tail; refined-cut plans gather through
+    the plan's x_pack_idx (pad rows point at row 0 — never referenced)."""
+    if plan.x_pack_idx is not None:
+        return jnp.take(x, plan.x_pack_idx, axis=0)
     want = plan.n_shards * plan.cols_per_shard
     pad = want - x.shape[0]
     return jnp.pad(x, ((0, pad), (0, 0))) if pad else x
+
+
+def _unpack_y(plan: RowPartitionPlan, out: jnp.ndarray) -> jnp.ndarray:
+    """Map the padded (S*rps, d) shard-grid output to global row order."""
+    if plan.y_unpack_idx is not None:
+        return jnp.take(out, plan.y_unpack_idx, axis=0)
+    return out[: plan.shape[0]]
+
+
+def _exchange_halo_ragged(plan: RowPartitionPlan, x_local, offset_bufs,
+                          axis: str, d: int):
+    """Per-ring-offset ppermute halo (plan.ragged): offset k's buffer is
+    padded only to that offset's worst pair, so sum(H_k) << (S-1)*H on
+    locality-ordered graphs. Segment k of the returned halo holds the
+    rows owned by (p - k) mod S, matching the plan's remap bases."""
+    S = plan.n_shards
+    parts = []
+    for k in range(1, S):
+        hk = plan.offset_widths[k - 1]
+        sk = offset_bufs[k - 1].reshape(hk)
+        buf = jnp.take(x_local, sk, axis=0)          # (H_k, d)
+        perm = [(i, (i + k) % S) for i in range(S)]
+        parts.append(jax.lax.ppermute(buf, axis, perm))
+    return jnp.concatenate(parts, axis=0)            # (sum H_k, d)
 
 
 def _squeeze_arrays(buckets):
@@ -95,7 +123,7 @@ def _make_pallas_local(plan: RowPartitionPlan, split: bool):
     closures); their cotangents are structural zeros, matching the
     reference's requires_grad=False on indices
     (user/ops/gather_op.cpp:44-50)."""
-    SH = plan.n_shards * plan.halo_size
+    SH = plan.halo_rows_total
     n_xcat = plan.cols_per_shard + SH + plan.n_hubs
     fwd_shape = (plan.rows_per_shard, n_xcat)
     t_shape = (n_xcat, plan.rows_per_shard)
@@ -196,27 +224,32 @@ def dist_spmm(
         boundary_arrays = _arrays(plan.boundary_buckets)
         f_split = _make_pallas_local(plan, split=True) if diff_pallas else None
 
-        def body(send_idx, interior, boundary, t_arr, x_local):
-            send_idx = send_idx.reshape(S, H)
-            send = jnp.take(x_local, send_idx.reshape(-1), axis=0) \
-                .reshape(S, H, d)
-            # issue the collective FIRST; interior compute has no data
-            # dependency on it, so XLA overlaps them (async collectives)
-            halo = jax.lax.all_to_all(
-                send, axis, split_axis=0, concat_axis=0, tiled=False)
+        def body(send_idx, off_sends, interior, boundary, t_arr, x_local):
+            # issue the collective(s) FIRST; interior compute has no data
+            # dependency on them, so XLA overlaps (async collectives)
+            if plan.ragged:
+                halo = _exchange_halo_ragged(plan, x_local, off_sends,
+                                             axis, d)
+            else:
+                send = jnp.take(x_local, send_idx.reshape(-1), axis=0) \
+                    .reshape(S, H, d)
+                halo = jax.lax.all_to_all(
+                    send, axis, split_axis=0, concat_axis=0, tiled=False
+                ).reshape(S * H, d)
             if diff_pallas:
                 return f_split(_squeeze(interior), _squeeze(boundary),
-                               _squeeze(t_arr), x_local,
-                               halo.reshape(S * H, d))
-            y = _spmm(interior, x_local)  # overlaps with the all_to_all
-            xcat = jnp.concatenate([x_local, halo.reshape(S * H, d)], axis=0)
+                               _squeeze(t_arr), x_local, halo)
+            y = _spmm(interior, x_local)  # overlaps with the exchange
+            xcat = jnp.concatenate([x_local, halo], axis=0)
             return y + _spmm(boundary, xcat)
 
+        off_sends = plan.offset_send or ()
         shard = jax.shard_map(
             body,
             mesh=mesh,
             in_specs=(
                 P(axis),
+                jax.tree_util.tree_map(lambda _: P(axis), off_sends),
                 jax.tree_util.tree_map(lambda _: P(axis), interior_arrays),
                 jax.tree_util.tree_map(lambda _: P(axis), boundary_arrays),
                 jax.tree_util.tree_map(lambda _: P(axis), t_arrays),
@@ -225,23 +258,29 @@ def dist_spmm(
             out_specs=P(axis),
             check_vma=False,
         )
-        out = shard(plan.send_idx, interior_arrays, boundary_arrays,
-                    t_arrays, xp)
-        return out[: plan.shape[0]]
+        out = shard(plan.send_idx, off_sends, interior_arrays,
+                    boundary_arrays, t_arrays, xp)
+        return _unpack_y(plan, out)
 
     bucket_arrays = _arrays(plan.buckets)
     f_plain = _make_pallas_local(plan, split=False) if diff_pallas else None
     hub_idx = (plan.hub_local_idx if plan.n_hubs
                else jnp.zeros((S, 1), jnp.int32))
 
-    def body(send_idx, buckets, t_arr, hub_idx_local, x_local):
-        send_idx = send_idx.reshape(S, H)  # (1, S, H) -> (S, H)
-        # 1) export halo rows: rows this shard owns that each peer needs
-        send = jnp.take(x_local, send_idx.reshape(-1), axis=0).reshape(S, H, d)
-        # 2) one static padded all-to-all: halo[q] = rows received from q
-        halo = jax.lax.all_to_all(send, axis, split_axis=0, concat_axis=0, tiled=False)
+    def body(send_idx, off_sends, buckets, t_arr, hub_idx_local, x_local):
+        # 1) + 2) export and exchange halo rows: one padded all_to_all, or
+        # per-offset ppermutes when the plan is ragged
+        if plan.ragged:
+            halo = _exchange_halo_ragged(plan, x_local, off_sends, axis, d)
+        else:
+            send_idx = send_idx.reshape(S, H)  # (1, S, H) -> (S, H)
+            send = jnp.take(x_local, send_idx.reshape(-1),
+                            axis=0).reshape(S, H, d)
+            halo = jax.lax.all_to_all(
+                send, axis, split_axis=0, concat_axis=0, tiled=False
+            ).reshape(S * H, d)
         # 3) local row-binned SpMM over [own rows ; halo ; hub broadcast]
-        parts = [x_local, halo.reshape(S * H, d)]
+        parts = [x_local, halo]
         if plan.n_hubs:
             parts.append(_gather_hubs(plan, hub_idx_local, x_local, axis))
         xcat = jnp.concatenate(parts, axis=0)
@@ -249,10 +288,12 @@ def dist_spmm(
             return f_plain(_squeeze(buckets), _squeeze(t_arr), xcat)
         return _spmm(buckets, xcat)
 
+    off_sends = plan.offset_send or ()
     shard = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(axis),
+                  jax.tree_util.tree_map(lambda _: P(axis), off_sends),
                   jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays),
                   jax.tree_util.tree_map(lambda _: P(axis), t_arrays),
                   P(axis),
@@ -260,8 +301,9 @@ def dist_spmm(
         out_specs=P(axis),
         check_vma=False,  # pallas_call inside the body predates vma typing
     )
-    out = shard(plan.send_idx, bucket_arrays, t_arrays, hub_idx, xp)
-    return out[: plan.shape[0]]
+    out = shard(plan.send_idx, off_sends, bucket_arrays, t_arrays, hub_idx,
+                xp)
+    return _unpack_y(plan, out)
 
 
 def dist_spmm_allgather(
@@ -284,14 +326,26 @@ def dist_spmm_allgather(
     xp = pad_x_for_plan(plan, x)
     bucket_arrays = tuple((b.row_ids, b.cols, b.vals) for b in plan.buckets)
 
-    def body(send_idx_all, buckets, x_local):
+    off_sends = plan.offset_send or ()
+
+    def body(send_idx_all, off_all, buckets, x_local):
         xfull = jax.lax.all_gather(x_local, axis, axis=0, tiled=True)  # (S*cps, d)
-        send_idx_all = send_idx_all.reshape(S, S, H)
         me = jax.lax.axis_index(axis)
-        # halo row j from owner q lives at q*cps + send_idx_all[q, me, j]
-        owner_base = (jnp.arange(S, dtype=jnp.int32) * cps)[:, None]  # (S, 1)
-        recv_idx = owner_base + send_idx_all[:, me, :]  # (S, H)
-        halo = jnp.take(xfull, recv_idx.reshape(-1), axis=0)  # (S*H, d)
+        if plan.ragged:
+            # rebuild the ragged halo layout locally: segment k holds the
+            # rows owned by q = (me - k) mod S, listed in off_all[k-1][q]
+            parts = []
+            for k in range(1, S):
+                q = (me - k) % S
+                idx = jnp.take(off_all[k - 1], q, axis=0)  # (H_k,)
+                parts.append(jnp.take(xfull, q * cps + idx, axis=0))
+            halo = jnp.concatenate(parts, axis=0)
+        else:
+            send_idx_all = send_idx_all.reshape(S, S, H)
+            # halo row j from owner q lives at q*cps + send_idx_all[q, me, j]
+            owner_base = (jnp.arange(S, dtype=jnp.int32) * cps)[:, None]
+            recv_idx = owner_base + send_idx_all[:, me, :]  # (S, H)
+            halo = jnp.take(xfull, recv_idx.reshape(-1), axis=0)  # (S*H, d)
         xcat = jnp.concatenate([x_local, halo], axis=0)
         squeezed = tuple(
             (r.reshape(r.shape[1:]), c.reshape(c.shape[1:]), v.reshape(v.shape[1:]))
@@ -305,9 +359,12 @@ def dist_spmm_allgather(
     shard = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays), P(axis)),
+        in_specs=(P(),
+                  jax.tree_util.tree_map(lambda _: P(), off_sends),
+                  jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays),
+                  P(axis)),
         out_specs=P(axis),
         check_vma=False,  # pallas_call inside the body predates vma typing
     )
-    out = shard(plan.send_idx, bucket_arrays, xp)
-    return out[: plan.shape[0]]
+    out = shard(plan.send_idx, off_sends, bucket_arrays, xp)
+    return _unpack_y(plan, out)

@@ -98,31 +98,61 @@ class RowPartitionPlan:
     # impl's custom_vjp — the distributed face of the reference's
     # gather<->segment-sum autograd pairing (gradient_funcs/gather.cpp).
     transpose_buckets: Optional[Tuple[StackedBucket, ...]] = None
+    # RAGGED halo (ragged=True): instead of one all_to_all padded to the
+    # worst (p, q) pair, the exchange runs one ppermute per ring OFFSET
+    # k = 1..S-1, each padded only to that offset's worst pair. On
+    # locality-ordered graphs adjacent offsets carry boundary slivers and
+    # far offsets only the global tail, so sum(H_k) << (S-1)*H — the
+    # static-shape analog of the reference's count-exchange-then-
+    # data-exchange (data_shuffle_kernel.cu:100-130).
+    offset_send: Optional[Tuple[jnp.ndarray, ...]] = None  # k-1 -> (S, H_k)
+    offset_widths: Optional[Tuple[int, ...]] = None        # (S-1,) H_k
+    # refined cuts (refine_slack > 0): shard boundaries move off the
+    # uniform grid (toward community edges, METIS-style 1-D min-cut);
+    # x_pack_idx gathers global X rows into the padded (S*cps,) layout
+    # and y_unpack_idx maps padded outputs back to global row order.
+    x_pack_idx: Optional[jnp.ndarray] = None   # (S*cps,) int32
+    y_unpack_idx: Optional[jnp.ndarray] = None  # (n,) int32
 
     def tree_flatten(self):
         children = (self.buckets, self.send_idx, self.interior_buckets,
                     self.boundary_buckets, self.hub_local_idx,
-                    self.hub_perm, self.transpose_buckets)
+                    self.hub_perm, self.transpose_buckets,
+                    self.offset_send, self.x_pack_idx, self.y_unpack_idx)
         aux = (self.shape, self.n_shards, self.rows_per_shard,
-               self.cols_per_shard, self.halo_size)
+               self.cols_per_shard, self.halo_size, self.offset_widths)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         (buckets, send_idx, interior, boundary, hub_idx, hub_perm,
-         transpose) = children
-        shape, s, rps, cps, h = aux
+         transpose, offset_send, x_pack, y_unpack) = children
+        shape, s, rps, cps, h, offw = aux
         return cls(buckets=tuple(buckets), send_idx=send_idx, shape=shape,
                    n_shards=s, rows_per_shard=rps, cols_per_shard=cps,
                    halo_size=h,
                    interior_buckets=None if interior is None else tuple(interior),
                    boundary_buckets=None if boundary is None else tuple(boundary),
                    hub_local_idx=hub_idx, hub_perm=hub_perm,
-                   transpose_buckets=None if transpose is None else tuple(transpose))
+                   transpose_buckets=None if transpose is None else tuple(transpose),
+                   offset_send=None if offset_send is None else tuple(offset_send),
+                   offset_widths=offw,
+                   x_pack_idx=x_pack, y_unpack_idx=y_unpack)
 
     @property
     def split(self) -> bool:
         return self.interior_buckets is not None
+
+    @property
+    def ragged(self) -> bool:
+        return self.offset_send is not None
+
+    @property
+    def halo_rows_total(self) -> int:
+        """Halo buffer rows per shard (ragged-aware)."""
+        if self.offset_widths is not None:
+            return int(sum(self.offset_widths))
+        return self.n_shards * self.halo_size
 
     @property
     def n_hubs(self) -> int:
@@ -137,7 +167,7 @@ class RowPartitionPlan:
         """Per-shard exchanged bytes: padded halo + hub broadcast vs the
         all_gather baseline (BASELINE.md halo-vs-allgather accounting)."""
         S = self.n_shards
-        halo = S * self.halo_size * d * bytes_per
+        halo = self.halo_rows_total * d * bytes_per
         kmax = 0 if self.hub_local_idx is None else int(
             self.hub_local_idx.shape[1])
         hub = S * kmax * d * bytes_per
@@ -147,13 +177,44 @@ class RowPartitionPlan:
                 "saving": 1.0 - (halo + hub) / max(allg, 1)}
 
 
+def _refine_bounds(n: int, S: int, rows, cols, slack: float) -> np.ndarray:
+    """Shard boundaries moved off the uniform grid toward min-cut points.
+
+    1-D METIS-style refinement: an edge (r, c) "crosses" cut x when
+    min(r,c) < x <= max(r,c); one +-1 sweep gives the crossing count at
+    every position, and each boundary picks the minimum within
+    +-slack*rps of its uniform position. On cluster-contiguous orderings
+    (sparse/reorder.py) the minima sit at cluster edges, so communities
+    stop straddling shards — the dominant halo term."""
+    rps = _cdiv(n, S)
+    lo_rc = np.minimum(rows, cols)
+    hi_rc = np.maximum(rows, cols)
+    ev = np.zeros(n + 1, np.int64)
+    np.add.at(ev, lo_rc + 1, 1)
+    np.add.at(ev, hi_rc + 1, -1)
+    crossing = np.cumsum(ev)  # crossing[x] = edges straddling cut x
+    w = max(int(slack * rps), 1)
+    bounds = np.zeros(S + 1, np.int64)
+    bounds[S] = n
+    for p in range(1, S):
+        u = p * rps
+        lo = max(u - w, bounds[p - 1] + 1)
+        hi = min(u + w, n - (S - p))
+        c = int(lo + np.argmin(crossing[lo:hi + 1]))
+        c -= c % SUBLANES
+        bounds[p] = max(c, bounds[p - 1] + 1)
+    return bounds
+
+
 def partition_rows(
     csr: CSR,
     n_shards: int,
     ladder="auto",
     split_boundary: bool = False,
     with_transpose: bool = True,
-    replicate_hubs: int = 0,
+    replicate_hubs=0,
+    ragged: bool = False,
+    refine_slack: float = 0.0,
 ) -> RowPartitionPlan:
     """Build the plan (host-side, once per graph x shard count).
 
@@ -165,6 +226,13 @@ def partition_rows(
     once per call instead of riding the pairwise halo — bounds the padded
     H on power-law graphs (the reference's id-shuffle dedups hot keys in
     its GPU hash table for the same reason, data_shuffle_kernel.cu:41-130).
+    ``replicate_hubs="auto"`` picks K from {0, 256, 1024, 4096} by
+    minimizing modeled exchange bytes — hubs are only replicated when the
+    byte saving is real (VERDICT r2 item 5).
+
+    ``ragged=True``: per-ring-offset ppermute halo instead of one
+    all_to_all padded to the worst pair; ``refine_slack>0``: min-cut
+    boundary refinement (square matrices only). See RowPartitionPlan.
     """
     from of_spmm_tpu.sparse.binned import optimal_ladder
 
@@ -174,24 +242,104 @@ def partition_rows(
         ladder = optimal_ladder(csr)
     n, m = csr.shape
     S = n_shards
-    rps = _cdiv(n, S)
-    cps = _cdiv(m, S)
 
     indptr = np.asarray(csr.indptr).astype(np.int64)
     cols = np.asarray(csr.cols).astype(np.int64)
     vals = np.asarray(csr.vals)
 
+    # --- shard boundaries -------------------------------------------------
+    if refine_slack > 0:
+        if n != m:
+            raise ValueError("refine_slack needs a square adjacency "
+                             "(rows and cols share the cut points)")
+        rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+        bounds = _refine_bounds(n, S, rows_all, cols, refine_slack)
+        del rows_all
+    else:
+        bounds = np.minimum(np.arange(S + 1, dtype=np.int64) * _cdiv(n, S),
+                            n)
+    uniform = refine_slack <= 0
+    sizes = np.diff(bounds)
+    rps = int(sizes.max())
+    rps += -rps % SUBLANES
+    if uniform:
+        rps = _cdiv(n, S)
+        cps = _cdiv(m, S)
+        col_bounds = np.minimum(
+            np.arange(S + 1, dtype=np.int64) * cps, m)
+    else:
+        cps = rps  # square: cols share the refined bounds
+        col_bounds = bounds
+
+    def owner_of(c):
+        if uniform:
+            return c // cps
+        return np.searchsorted(col_bounds, c, side="right") - 1
+
     # --- hub selection ----------------------------------------------------
-    K = min(replicate_hubs, m)
+    indeg = np.bincount(cols, minlength=m)
+    auto_hubs = replicate_hubs == "auto"
+    hub_candidates = (0, 256, 1024, 4096, 16384, 65536) if auto_hubs \
+        else (min(int(replicate_hubs), m),)
+
+    # per-shard unique referenced cols (computed once; hub filtering masks)
+    shard_uniq = []
+    shard_slices = []
+    for p in range(S):
+        r0, r1 = int(bounds[p]), int(bounds[p + 1])
+        lo, hi = indptr[r0], indptr[r1]
+        shard_slices.append((r0, r1, lo, hi))
+        shard_uniq.append(np.unique(cols[lo:hi]))
+
+    hub_order = np.argsort(-indeg, kind="stable")
+
+    def modeled_bytes(K):
+        """Exchanged rows (incl. hub slab) for hub count K — with the SAME
+        alignment/padding the final plan applies, so "auto" never picks a
+        K that loses after rounding."""
+        if K:
+            hub_set = np.zeros(m, bool)
+            hub_set[hub_order[:K]] = True
+        worst = np.zeros(S, np.int64)  # per-offset max (ragged model)
+        for p in range(S):
+            u = shard_uniq[p]
+            if K:
+                u = u[~hub_set[u]]
+            ow = owner_of(u)
+            cnt = np.bincount(ow, minlength=S)
+            for q in range(S):
+                if q == p:
+                    continue
+                k = (p - q) % S
+                worst[k] = max(worst[k], cnt[q])
+        if ragged:
+            hk = np.maximum(worst[1:], 1)
+            hk += (-hk) % SUBLANES
+            halo_rows = int(hk.sum())
+        else:
+            h = max(int(worst.max()), 1)
+            h += -h % SUBLANES
+            halo_rows = S * h
+        kmax = 0
+        if K:
+            kmax = max(int(np.bincount(owner_of(hub_order[:K]),
+                                       minlength=S).max()), 1)
+        return halo_rows + S * kmax
+
+    if len(hub_candidates) > 1:
+        K = min(hub_candidates, key=modeled_bytes)
+    else:
+        K = hub_candidates[0]
+    K = min(K, m)
+
     hub_rank = np.full(m, -1, dtype=np.int64)
     hub_ids = np.zeros(0, np.int64)
     hub_local_idx = None
     hub_perm = None
     if K:
-        indeg = np.bincount(cols, minlength=m)
-        hub_ids = np.argsort(-indeg, kind="stable")[:K]
+        hub_ids = hub_order[:K]
         hub_rank[hub_ids] = np.arange(K, dtype=np.int64)
-        owner_h = hub_ids // cps
+        owner_h = owner_of(hub_ids)
         kmax = max(int(np.bincount(owner_h, minlength=S).max()), 1)
         hub_local_idx = np.zeros((S, kmax), np.int32)
         hub_perm = np.zeros(K, np.int32)
@@ -199,23 +347,18 @@ def partition_rows(
         for r, c in enumerate(hub_ids):
             p = int(owner_h[r])
             k = int(slot_of[p])
-            hub_local_idx[p, k] = c - p * cps
+            hub_local_idx[p, k] = c - col_bounds[p]
             hub_perm[r] = p * kmax + k
             slot_of[p] += 1
 
     # --- per-shard halo needs -------------------------------------------
     # need[p][q]: sorted unique global cols owned by q (!=p) referenced by A_p
     need = [[np.zeros(0, np.int64) for _ in range(S)] for _ in range(S)]
-    shard_slices = []
     for p in range(S):
-        r0, r1 = p * rps, min((p + 1) * rps, n)
-        lo, hi = indptr[r0], indptr[r1]
-        shard_slices.append((r0, r1, lo, hi))
-        c = cols[lo:hi]
-        uniq = np.unique(c)
+        uniq = shard_uniq[p]
         if K:
             uniq = uniq[hub_rank[uniq] < 0]  # hubs ride the broadcast
-        owner = uniq // cps
+        owner = owner_of(uniq)
         for q in range(S):
             if q == p:
                 continue
@@ -225,14 +368,63 @@ def partition_rows(
     H = max(H, 1)
     H += -H % SUBLANES  # align halo buffer rows
 
+    # --- ragged per-offset widths + halo segment bases -------------------
+    offset_widths = None
+    offset_send = None
+    if ragged:
+        offset_widths = []
+        for k in range(1, S):
+            hk = max((need[p][(p - k) % S].shape[0] for p in range(S)),
+                     default=0)
+            hk = max(hk, 1)
+            hk += -hk % SUBLANES
+            offset_widths.append(hk)
+        offset_widths = tuple(offset_widths)
+        halo_base = np.zeros(S, np.int64)  # base row of owner-q's segment
+        # per (p, q): q's rows land at base of offset k = (p - q) % S
+        off_pref = np.zeros(S, np.int64)
+        np.cumsum(np.asarray(offset_widths[:-1]), out=off_pref[2:])
+        # off_pref[k] = sum of widths for offsets < k (k >= 1)
+        # send plan per offset: p sends need[(p+k)%S][p] to (p+k)%S
+        offset_send = []
+        for k in range(1, S):
+            hk = offset_widths[k - 1]
+            sk = np.zeros((S, hk), np.int32)
+            for p in range(S):
+                dest = (p + k) % S
+                idx = need[dest][p] - col_bounds[p]
+                sk[p, : idx.shape[0]] = idx
+            offset_send.append(sk)
+        halo_total = int(sum(offset_widths))
+    else:
+        halo_total = S * H
+
     # --- send plan: p sends need[q][p] (as p-local indices) to q ---------
     send_idx = np.zeros((S, S, H), dtype=np.int32)
     for p in range(S):
         for q in range(S):
             if q == p:
                 continue
-            idx = need[q][p] - p * cps  # p-local X row indices
+            idx = need[q][p] - col_bounds[p]  # p-local X row indices
             send_idx[p, q, : idx.shape[0]] = idx
+
+    def halo_pos(p, q):
+        """Base of owner-q's halo rows in p's xcat halo section."""
+        if ragged:
+            k = (p - q) % S
+            return int(off_pref[k])
+        return q * H
+
+    # --- pack/unpack maps for refined (non-uniform) boundaries -----------
+    x_pack_idx = None
+    y_unpack_idx = None
+    if not uniform:
+        x_pack_idx = np.zeros(S * cps, np.int32)
+        y_unpack_idx = np.zeros(n, np.int32)
+        for p in range(S):
+            r0, r1 = int(bounds[p]), int(bounds[p + 1])
+            x_pack_idx[p * cps: p * cps + (r1 - r0)] = np.arange(r0, r1)
+            y_unpack_idx[r0:r1] = p * rps + np.arange(r1 - r0)
 
     # --- per-shard local CSR with remapped cols, then bin ----------------
     per_shard_binned = []
@@ -242,15 +434,15 @@ def partition_rows(
         c = cols[lo:hi]
         v = vals[lo:hi]
         local_indptr = (indptr[r0 : r1 + 1] - lo).astype(np.int64)
-        # remap: own cols -> c - p*cps ; halo col from owner q at position j
-        # in need[p][q] -> cps + q*H + j
-        owner = c // cps
+        # remap: own cols -> c - col_bounds[p] ; halo col from owner q at
+        # position j in need[p][q] -> cps + halo_pos(p, q) + j
+        owner = owner_of(c)
         remapped = np.empty_like(c)
         is_hub = hub_rank[c] >= 0 if K else np.zeros(c.shape[0], bool)
         own = np.logical_and(owner == p, ~is_hub)
-        remapped[own] = c[own] - p * cps
+        remapped[own] = c[own] - col_bounds[p]
         if K:
-            remapped[is_hub] = cps + S * H + hub_rank[c[is_hub]]
+            remapped[is_hub] = cps + halo_total + hub_rank[c[is_hub]]
         for q in range(S):
             if q == p:
                 continue
@@ -258,7 +450,7 @@ def partition_rows(
             if not sel.any():
                 continue
             pos = np.searchsorted(need[p][q], c[sel])
-            remapped[sel] = cps + q * H + pos
+            remapped[sel] = cps + halo_pos(p, q) + pos
         # pad local rows to rps
         pad_rows = rps - (r1 - r0)
         if pad_rows:
@@ -271,14 +463,14 @@ def partition_rows(
                 np.arange(rps, dtype=np.int64), np.diff(local_indptr))
             order = np.argsort(remapped, kind="stable")
             t_cols = remapped[order]
-            t_counts = np.bincount(t_cols, minlength=cps + S * H + K)
-            t_indptr = np.zeros(cps + S * H + K + 1, np.int64)
+            t_counts = np.bincount(t_cols, minlength=cps + halo_total + K)
+            t_indptr = np.zeros(cps + halo_total + K + 1, np.int64)
             np.cumsum(t_counts, out=t_indptr[1:])
             t_csr = CSR.from_arrays(
                 t_indptr.astype(np.int64),
                 local_rows[order].astype(np.int32),
                 v[order],
-                (cps + S * H + K, rps),
+                (cps + halo_total + K, rps),
             )
             per_shard_t_binned.append(bin_rows(t_csr, ladder=ladder))
         if split_boundary:
@@ -298,7 +490,7 @@ def partition_rows(
                     ip.astype(np.int32),
                     remapped[keep_nnz].astype(np.int32),
                     v[keep_nnz],
-                    (rps, cps + S * H + K),
+                    (rps, cps + halo_total + K),
                 )
 
             per_shard_binned.append(
@@ -310,33 +502,14 @@ def partition_rows(
                 local_indptr.astype(np.int32),
                 remapped.astype(np.int32),
                 v,
-                (rps, cps + S * H + K),
+                (rps, cps + halo_total + K),
             )
             per_shard_binned.append(bin_rows(local_csr, ladder=ladder))
 
     t_buckets = (
         _stack_binned(per_shard_t_binned, ladder) if with_transpose else None
     )
-    if split_boundary:
-        interior = _stack_binned([a for a, _ in per_shard_binned], ladder)
-        boundary = _stack_binned([b for _, b in per_shard_binned], ladder)
-        return RowPartitionPlan(
-            buckets=(),
-            send_idx=jnp.asarray(send_idx),
-            shape=csr.shape,
-            n_shards=S,
-            rows_per_shard=rps,
-            cols_per_shard=cps,
-            halo_size=H,
-            interior_buckets=interior,
-            boundary_buckets=boundary,
-            hub_local_idx=None if not K else jnp.asarray(hub_local_idx),
-            hub_perm=None if not K else jnp.asarray(hub_perm),
-            transpose_buckets=t_buckets,
-        )
-    buckets = _stack_binned(per_shard_binned, ladder)
-    return RowPartitionPlan(
-        buckets=buckets,
+    common = dict(
         send_idx=jnp.asarray(send_idx),
         shape=csr.shape,
         n_shards=S,
@@ -346,6 +519,25 @@ def partition_rows(
         hub_local_idx=None if not K else jnp.asarray(hub_local_idx),
         hub_perm=None if not K else jnp.asarray(hub_perm),
         transpose_buckets=t_buckets,
+        offset_send=(None if offset_send is None
+                     else tuple(jnp.asarray(a) for a in offset_send)),
+        offset_widths=offset_widths,
+        x_pack_idx=None if x_pack_idx is None else jnp.asarray(x_pack_idx),
+        y_unpack_idx=(None if y_unpack_idx is None
+                      else jnp.asarray(y_unpack_idx)),
+    )
+    if split_boundary:
+        interior = _stack_binned([a for a, _ in per_shard_binned], ladder)
+        boundary = _stack_binned([b for _, b in per_shard_binned], ladder)
+        return RowPartitionPlan(
+            buckets=(),
+            interior_buckets=interior,
+            boundary_buckets=boundary,
+            **common,
+        )
+    return RowPartitionPlan(
+        buckets=_stack_binned(per_shard_binned, ladder),
+        **common,
     )
 
 

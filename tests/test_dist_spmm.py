@@ -166,3 +166,119 @@ def test_dist_spmm_hub_replication(impl):
                                rtol=RTOL, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g), dense.T @ w,
                                rtol=RTOL, atol=1e-3)
+
+
+def _banded_dense(n, seed=0, band=48, p_in=0.12, p_out=0.004):
+    """Cluster-banded adjacency (what a locality reorder produces)."""
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n, n)) < p_out).astype(np.float32)
+    for i in range(n):
+        lo = max(0, i - band // 2)
+        hi = min(n, i + band // 2)
+        dense[i, lo:hi] += (rng.random(hi - lo) < p_in)
+    dense = (dense > 0) * rng.standard_normal((n, n))
+    return dense.astype(np.float32)
+
+
+@pytest.mark.parametrize("refine", [0.0, 0.2])
+@pytest.mark.parametrize("split", [False, True])
+def test_dist_spmm_ragged_matches_dense(refine, split):
+    """Ragged per-offset halo (+ optional min-cut refined boundaries):
+    exact vs dense, forward and gradient (VERDICT r2 item 5)."""
+    n, d, S = 128, 8, 4
+    dense = _banded_dense(n, seed=11)
+    csr = CSR.from_dense(dense)
+    plan = partition_rows(csr, S, ragged=True, refine_slack=refine,
+                          split_boundary=split)
+    assert plan.ragged
+    x = np.random.default_rng(5).standard_normal((n, d)).astype(np.float32)
+    w = np.random.default_rng(6).standard_normal((n, d)).astype(np.float32)
+    with _mesh(S) as mesh:
+        y = dist_spmm(plan, jnp.asarray(x), mesh)
+        g = jax.grad(lambda xx: jnp.sum(
+            dist_spmm(plan, xx, mesh) * w))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
+                               atol=1e-3)
+
+
+def test_dist_spmm_ragged_allgather_baseline_matches():
+    n, d, S = 128, 8, 4
+    dense = _banded_dense(n, seed=13)
+    plan = partition_rows(CSR.from_dense(dense), S, ragged=True,
+                          refine_slack=0.2)
+    x = np.random.default_rng(7).standard_normal((n, d)).astype(np.float32)
+    with _mesh(S) as mesh:
+        y = dist_spmm_allgather(plan, jnp.asarray(x), mesh)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=1e-3)
+
+
+def _blocky_dense(n, seed=0, p_in=0.3, p_out=0.002):
+    """SBM with irregular block sizes smaller than a shard: uniform cuts
+    straddle blocks, so min-cut refinement has cluster edges to snap to."""
+    rng = np.random.default_rng(seed)
+    sizes = rng.integers(8, 41, n)
+    bounds = np.concatenate([[0], np.cumsum(sizes)])
+    bounds = bounds[bounds < n]
+    bounds = np.concatenate([bounds, [n]])
+    comm = np.searchsorted(bounds, np.arange(n), side="right") - 1
+    dense = (rng.random((n, n)) < p_out).astype(np.float32)
+    same = comm[:, None] == comm[None, :]
+    dense[same] = (rng.random(int(same.sum())) < p_in).astype(np.float32)
+    np.fill_diagonal(dense, 0)
+    return (dense * rng.standard_normal((n, n))).astype(np.float32)
+
+
+def test_ragged_refined_cuts_comm_bytes():
+    """On a clustered graph the ragged per-offset halo must beat the
+    uniform padded halo, min-cut refined boundaries must beat uniform
+    ones, the combined saving vs all_gather must clear the r3 target
+    (>= 0.5 at 8 shards), and auto hub selection must never increase
+    bytes (VERDICT r2 item 5: hubs strictly non-negative)."""
+    n, S = 512, 8
+    csr = CSR.from_dense(_blocky_dense(n, seed=17))
+    uni = partition_rows(csr, S, with_transpose=False)
+    rag = partition_rows(csr, S, ragged=True, with_transpose=False)
+    ref_ = partition_rows(csr, S, ragged=True, refine_slack=0.2,
+                          with_transpose=False)
+    s_uni = uni.comm_stats()
+    s_rag = rag.comm_stats()
+    s_ref = ref_.comm_stats()
+    assert s_rag["halo_bytes"] < s_uni["halo_bytes"]
+    assert s_ref["halo_bytes"] < s_rag["halo_bytes"]
+    assert s_ref["saving"] > 0.5  # the r3 target at 8 shards
+    auto = partition_rows(csr, S, ragged=True, refine_slack=0.2,
+                          with_transpose=False, replicate_hubs="auto")
+    s_auto = auto.comm_stats()
+    assert (s_auto["halo_bytes"] + s_auto["hub_bytes"]
+            <= s_ref["halo_bytes"] + s_ref["hub_bytes"])
+    # refined+ragged plan still computes exactly
+    x = np.random.default_rng(3).standard_normal((n, 4)).astype(np.float32)
+    full = partition_rows(csr, S, ragged=True, refine_slack=0.2,
+                          with_transpose=False)
+    dense = np.asarray(_blocky_dense(n, seed=17))
+    with _mesh(S) as mesh:
+        y = dist_spmm(full, jnp.asarray(x), mesh)
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=1e-3)
+
+
+def test_dist_spmm_ragged_pallas_grad():
+    """Ragged exchange with the Pallas local kernel fwd+bwd."""
+    n, d, S = 128, 4, 4
+    dense = _banded_dense(n, seed=19)
+    plan = partition_rows(CSR.from_dense(dense), S, ragged=True,
+                          refine_slack=0.2, with_transpose=True)
+    x = jnp.asarray(
+        np.random.default_rng(8).standard_normal((n, d)).astype(np.float32))
+    w = np.random.default_rng(9).standard_normal((n, d)).astype(np.float32)
+    with _mesh(S) as mesh:
+        y = dist_spmm(plan, x, mesh, impl="pallas")
+        g = jax.grad(lambda xx: jnp.sum(
+            dist_spmm(plan, xx, mesh, impl="pallas") * w))(x)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x),
+                               rtol=RTOL, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
+                               atol=1e-3)
