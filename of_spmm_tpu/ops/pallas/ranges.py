@@ -3,20 +3,22 @@
 Executes a sparse/ranges.py RangesPlan, one pallas_call per segment. Per
 grid step the kernel interprets the plan's control word:
 
-1. scattered staging: per-row DMA waves (the fused engine's rows-mode
-   transport) pull this step's scattered X rows into the f32 scatter
-   scratch, one step behind on parity-split semaphore slots;
+1. scattered staging: cq-row BLOCK DMAs copy this step's scattered
+   chunks from the per-segment tier-major packed [hi|lo] take table
+   (built by a small XLA phase over the scattered volume only) straight
+   into the window's scattered region, one step behind on parity-split
+   semaphore slots — the fused engine's chunks transport
+   (ops/pallas/fused.py), ~10x the per-row DMA rate;
 2. range staging: RQ-row BLOCK DMAs copy the NEXT range's contiguous X
    rows into the f32 range scratch (parity ping-pong across ranges) —
-   the locality transport that replaces the round-2 staged-table gather;
+   the locality transport that replaces the round-2 staged-table gather
+   for the clustered bulk of the matrix;
 3. first step of a range: split the f32 range rows into the packed
    [hi|lo] bf16 window region (chunked);
-4. first step of a tile: zero output (first piece) + split the tile's
-   scattered f32 rows into the window's scattered region;
+4. first step of a tile's first piece: zero the output block;
 5. every compute step: G multi-hot gathers over the unified window space
    [hot | range(parity) | scattered(parity)] + the packed scatter
-   one-hot, exactly the fused engine's compute path
-   (ops/pallas/fused.py).
+   one-hot, exactly the fused engine's compute path.
 
 Reference semantics: gather x segment-sum (oneflow/user/ops/
 gather_op.cpp:51-82, unsorted_segment_sum_kernel_util.cu:52-151).
@@ -35,41 +37,36 @@ from jax.experimental.pallas import tpu as pltpu
 from of_spmm_tpu.sparse.ranges import RangesPlan, RangesSegment, _L
 
 _DN = (((1,), (0,)), ((), ()))
-_W = 64        # scattered DMA wave width
 _NSEM = 16
-_SC_HALF = 6   # scattered wave semaphore slots per parity (0-5 / 6-11)
+_SC_HALF = 6   # scattered chunk semaphore slots per parity (0-5 / 6-11)
 _RG_BASE = 12  # range copy slots (12-13 / 14-15)
 _RG_HALF = 2
 
 
 def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
             lidx_ref, lrow_ref, *rest, R, T, G, S_buf, RC, H_blocks,
-            DMAX, RMAX, RQ, rank1, multihot, interpret):
+            DMAX, RMAX, RQ, CQ, rank1, multihot, interpret):
     if rank1:
         vh_ref = vl_ref = None
         rest2 = rest
     else:
         vh_ref, vl_ref = rest[0], rest[1]
         rest2 = rest[2:]
-    hot_ref, xs_ref, o_ref, hilo, range_f32, scat_f32, sem = rest2
+    hot_ref, xs_ref, table_ref, o_ref, hilo, range_f32, sem = rest2
 
     i = pl.program_id(0)
     tile = ctrl_ref[0, 0, 0]
-    first = ctrl_ref[0, 0, 1]
-    s_base = ctrl_ref[0, 0, 2]
     s_cnt = ctrl_ref[0, 0, 3]
     r_cnt = ctrl_ref[0, 0, 4]
     s_read = ctrl_ref[0, 0, 5]     # scattered parity base (rows)
     prev_s_cnt = ctrl_ref[0, 0, 6]
-    prev_s_base = ctrl_ref[0, 0, 7]
-    s_rows = ctrl_ref[0, 0, 8]
     zero_out = ctrl_ref[0, 0, 9]
     r_first = ctrl_ref[0, 0, 10]
     r_read = ctrl_ref[0, 0, 11]    # range parity base (rows, = parity*RC)
     prev_r_cnt = ctrl_ref[0, 0, 12]
     do_comp = tile >= 0
-    CW = DMAX // 8
     RCB = RC // _L
+    SCAT0 = H_blocks * _L + 2 * RC   # window row of the scat region
 
     # ---- hot table: copy into the window head once per segment ----------
     if H_blocks:
@@ -77,36 +74,36 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
         def _():
             hilo[0:H_blocks * _L, :] = hot_ref[:]
 
-    # ---- scattered per-row staging DMAs (fused rows-mode waves) ---------
-    def mkdma(g, pos_base, slot_off):
-        c = scols_ref[0, g // CW, g % CW]
-        return pltpu.make_async_copy(
-            xs_ref.at[c], scat_f32.at[pos_base + g],
-            sem.at[(g % _SC_HALF) + slot_off])
-
-    NW = DMAX // _W
-
-    def dma_block(slot_issue, slot_wait):
-        # waits first: shared counting-semaphore slots are only trustable
-        # when no same-step start is pending on them
-        for w in range(NW):
-            @pl.when(jnp.logical_and(i > 0, w * _W < prev_s_cnt))
-            def _(w=w):
-                for j in range(_W):
-                    mkdma(w * _W + j, prev_s_base, slot_wait).wait()
-        for w in range(NW):
-            @pl.when(w * _W < s_cnt)
-            def _(w=w):
-                for j in range(_W):
-                    mkdma(w * _W + j, s_base, slot_issue).start()
+    # ---- scattered chunk copies (take table -> window, fused chunks) ----
+    def scat_block(slot_issue, slot_wait):
+        # ALL waits for the previous step run BEFORE any new start:
+        # shared counting-semaphore slots are only trustable when no
+        # same-step start is pending on them (ops/pallas/fused.py)
+        for k in range(DMAX):
+            @pl.when(jnp.logical_and(i > 0, k < prev_s_cnt))
+            def _(k=k):
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(0, CQ), :],
+                    hilo.at[pl.ds(SCAT0, CQ), :],
+                    sem.at[(k % _SC_HALF) + slot_wait]).wait()
+        for k in range(DMAX):
+            @pl.when(k < s_cnt)
+            def _(k=k):
+                src = pl.multiple_of(scols_ref[0, 0, k] * CQ, CQ)
+                dst = pl.multiple_of(
+                    SCAT0 + scols_ref[0, 1, k] * CQ, CQ)
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(src, CQ), :],
+                    hilo.at[pl.ds(dst, CQ), :],
+                    sem.at[(k % _SC_HALF) + slot_issue]).start()
 
     @pl.when(i % 2 == 0)
     def _():
-        dma_block(0, _SC_HALF)
+        scat_block(0, _SC_HALF)
 
     @pl.when(i % 2 == 1)
     def _():
-        dma_block(_SC_HALF, 0)
+        scat_block(_SC_HALF, 0)
 
     # ---- range block copies (RQ-row chunks from X) ----------------------
     def rng_block(slot_issue, slot_wait):
@@ -155,23 +152,6 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
             woff = pl.multiple_of(H_blocks * _L + r_read + c0, _L)
             hilo[pl.ds(woff, SPLIT_CHUNK), 0:_L] = hi
             hilo[pl.ds(woff, SPLIT_CHUNK), _L:2 * _L] = lo
-
-    # ---- first step of a TILE: split scattered f32 rows -> window -------
-    S_CHUNK = min(2048, S_buf)
-
-    @pl.when(jnp.logical_and(do_comp, first == 1))
-    def _():
-        for c0 in range(0, S_buf, S_CHUNK):
-            @pl.when(c0 < s_rows)
-            def _(c0=c0):
-                soff = pl.multiple_of(s_read + c0, _L)
-                sbuf = scat_f32[pl.ds(soff, S_CHUNK), :]
-                hi = sbuf.astype(jnp.bfloat16)
-                lo = (sbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
-                woff = pl.multiple_of(
-                    H_blocks * _L + 2 * RC + s_read + c0, _L)
-                hilo[pl.ds(woff, S_CHUNK), 0:_L] = hi
-                hilo[pl.ds(woff, S_CHUNK), _L:2 * _L] = lo
 
     # ---- multi-hot gather + scatter (fused engine compute path) ---------
     @pl.when(do_comp)
@@ -257,6 +237,8 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
 
 def _segment_call(seg: RangesSegment, plan: RangesPlan, hot_hilo, xs,
                   interpret: bool) -> jnp.ndarray:
+    from of_spmm_tpu.ops.pallas.fused import _stage_table
+
     R, T = plan.R, plan.T
     G = T // _L
     H_blocks = plan.n_hot // _L
@@ -265,7 +247,8 @@ def _segment_call(seg: RangesSegment, plan: RangesPlan, hot_hilo, xs,
     kernel = functools.partial(
         _kernel, R=R, T=T, G=G, S_buf=plan.S_buf, RC=plan.RC,
         H_blocks=H_blocks, DMAX=plan.DMAX, RMAX=plan.RMAX, RQ=plan.RQ,
-        rank1=rank1, multihot=plan.multihot, interpret=interpret)
+        CQ=plan.cq, rank1=rank1, multihot=plan.multihot,
+        interpret=interpret)
 
     def smem(shape):
         return pl.BlockSpec(shape, lambda i, t: (i,) + (0,) * (len(shape) - 1),
@@ -282,7 +265,7 @@ def _segment_call(seg: RangesSegment, plan: RangesPlan, hot_hilo, xs,
     )
     in_specs = [
         smem((1, 1, 16)),                    # ctrl
-        smem((1, 8, plan.DMAX // 8)),        # scols
+        smem((1, 2, plan.DMAX)),             # scols (chunk src/dst blocks)
         smem((1, 2, plan.RMAX)),             # rcopy
         smem((1, 1, G)),                     # blk
         lidx_spec,
@@ -296,8 +279,9 @@ def _segment_call(seg: RangesSegment, plan: RangesPlan, hot_hilo, xs,
         pl.BlockSpec((max(H_blocks * _L, _L), 256), lambda i, t: (0, 0),
                      memory_space=pltpu.VMEM),   # hot table (hi|lo)
         pl.BlockSpec(memory_space=pl.ANY),        # X (HBM, f32)
+        pl.BlockSpec(memory_space=pl.ANY),        # scattered take table
     ]
-    args += [hot_hilo, xs]
+    args += [hot_hilo, xs, _stage_table(seg, plan, xs)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -310,7 +294,6 @@ def _segment_call(seg: RangesSegment, plan: RangesPlan, hot_hilo, xs,
                 (H_blocks * _L + 2 * plan.RC + 2 * plan.S_buf, 256),
                 jnp.bfloat16),
             pltpu.VMEM((2 * plan.RC, _L), jnp.float32),
-            pltpu.VMEM((2 * plan.S_buf, _L), jnp.float32),
             pltpu.SemaphoreType.DMA((_NSEM,)),
         ],
     )
@@ -346,8 +329,14 @@ def _spmm_ranges_jit(plan: RangesPlan, x: jnp.ndarray,
         hot_hilo = jnp.concatenate([hi, lo], axis=1)
     else:
         hot_hilo = jnp.zeros((_L, 256), jnp.bfloat16)
-    outs = [_segment_call(seg, plan, hot_hilo, xs, interpret)
-            for seg in plan.segments]
+    outs = []
+    for seg in plan.segments:
+        outs.append(_segment_call(seg, plan, hot_hilo, xs, interpret))
+        if len(plan.segments) > 1:
+            # serialize segments so only ~one scattered take table is
+            # live at a time (same barrier rationale as the fused
+            # engine's staged tables; see ops/pallas/fused.py)
+            xs, _ = jax.lax.optimization_barrier((xs, outs[-1][0, 0]))
     out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
     out = out[: plan.shape[0]]
     if plan.row_scale is not None:

@@ -536,7 +536,8 @@ _BIG_T = 4096            # lanes/step for big graphs (T=None adaptive pick):
 #                          addendum) amortizes over 4x more lanes; small
 #                          graphs keep T=1024 (few lanes per tile — bigger
 #                          steps would only pad)
-_BIG_T_NNZ = 16_000_000
+_BIG_T_NNZ = 8_000_000   # catches products-small (12M); graphs this size
+#                          average >= ~50 nnz/row, so 4096-lane steps fill
 
 
 def build_fused_plan(

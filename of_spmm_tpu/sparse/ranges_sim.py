@@ -42,23 +42,39 @@ def simulate(plan: RangesPlan, x: np.ndarray) -> np.ndarray:
     out_tiles = []
     for seg in plan.segments:
         ctrl = np.asarray(seg.ctrl)
-        scols = np.asarray(seg.scols).reshape(seg.n_steps, -1)
+        scols = np.asarray(seg.scols)       # (steps, 2, DMAX) chunk pairs
         rcopy = np.asarray(seg.rcopy)
         lidx = np.asarray(seg.lidx)
         lrow = np.asarray(seg.lrow)
         blk = np.asarray(seg.blk)
-        scat_f32 = np.zeros((2 * plan.S_buf, d), np.float32)
+        cq = plan.cq
+        # XLA take phase: tier-major packed hi|lo scattered table
+        TS = plan.stage_tier
+        ptr = seg.stage_tier_ptr
+        take = np.asarray(seg.stage_take)
+        parts = []
+        for t in range(len(ptr) - 1):
+            if ptr[t + 1] == ptr[t]:
+                continue
+            xt = xs[t * TS:min((t + 1) * TS, xs.shape[0])]
+            idx = np.minimum(take[ptr[t]:ptr[t + 1]], xt.shape[0] - 1)
+            parts.append(xt[idx])
+        table = (_hilo(np.concatenate(parts))
+                 if parts else np.zeros((_L, 2 * d), np.float32))
         range_f32 = np.zeros((2 * RC, d), np.float32)
         # window: [hot | range p0 | range p1 | scat p0 | scat p1]
         hilo = np.zeros(
             (H_blocks * _L + 2 * RC + 2 * plan.S_buf, 2 * d), np.float32)
         hilo[:H_blocks * _L] = hot_hilo
+        SCAT0 = H_blocks * _L + 2 * RC
         out = np.zeros((seg.n_tiles * R, d), np.float32)
         for i in range(seg.n_steps):
-            (tile, first, s_base, s_cnt, r_cnt, s_read, _pc, _pb,
-             s_rows, zero_out, r_first, r_read, _prc) = ctrl[i, 0, :13]
-            if s_cnt:
-                scat_f32[s_base:s_base + s_cnt] = xs[scols[i, :s_cnt]]
+            (tile, _first, _sp, s_cnt, r_cnt, s_read, _pc, _sp7,
+             _sp8, zero_out, r_first, r_read, _prc) = ctrl[i, 0, :13]
+            for k in range(s_cnt):
+                sb, db = scols[i, 0, k], scols[i, 1, k]
+                hilo[SCAT0 + db * cq:SCAT0 + (db + 1) * cq] = \
+                    table[sb * cq:(sb + 1) * cq]
             for k in range(r_cnt):
                 src, dst = rcopy[i, 0, k], rcopy[i, 1, k]
                 range_f32[dst:dst + RQ] = xs[src:src + RQ]
@@ -68,10 +84,6 @@ def simulate(plan: RangesPlan, x: np.ndarray) -> np.ndarray:
                 hilo[H_blocks * _L + r_read:
                      H_blocks * _L + r_read + RC] = _hilo(
                     range_f32[r_read:r_read + RC])
-            if tile >= 0 and first and s_rows:
-                w0 = H_blocks * _L + 2 * RC + s_read
-                hilo[w0:w0 + s_rows] = _hilo(
-                    scat_f32[s_read:s_read + s_rows])
             if tile < 0:
                 continue
             for g in range(G):
