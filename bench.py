@@ -65,7 +65,9 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         from of_spmm_tpu.utils.config import FLAGS
 
         cfg_n = NAMED_CONFIGS[name]
-        nnz_est = 2 * cfg_n.n_edges  # symmetrized
+        # the generator halves e before symmetrizing, so the built nnz ~=
+        # the advertised edge count (data/graphs.py load_graph)
+        nnz_est = cfg_n.n_edges
         FT = int(FLAGS.get("OFS_FUSED_T")) or (
             _BIG_T if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
         if layout == "ranges":

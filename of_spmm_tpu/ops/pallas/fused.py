@@ -260,10 +260,14 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                 s = s + jnp.pad(s2, ((0, 0), (0, _L)))
             return s
 
-        if G <= 8:
+        if G <= 16:
             # full static unroll, two independent accumulation chains
             # (even/odd groups) so the VPU adds between groups don't
-            # serialize the MXU pipeline
+            # serialize the MXU pipeline. G=16 compiles as two 8-group
+            # static chains joined by one add (the monolithic r2 G=16
+            # attempt never finished Mosaic compile; the rolled fori
+            # fallback below costs ~2x per lane — measured T=4096
+            # products regression).
             acc0 = acc1 = None
             for g in range(G):
                 s = group_contrib(g)

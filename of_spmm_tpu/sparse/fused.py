@@ -531,13 +531,16 @@ def factor_rank1(csr: CSR, rtol: float = 1e-6):
     return _f(csr, rtol=rtol)
 
 
-_BIG_T = 4096            # lanes/step for big graphs (T=None adaptive pick):
-#                          the per-step grid/stream floor (~3 us, PROFILE_r02
-#                          addendum) amortizes over 4x more lanes; small
-#                          graphs keep T=1024 (few lanes per tile — bigger
-#                          steps would only pad)
-_BIG_T_NNZ = 8_000_000   # catches products-small (12M); graphs this size
-#                          average >= ~50 nnz/row, so 4096-lane steps fill
+_BIG_T = 1024            # lanes/step for big graphs (T=None adaptive pick).
+#                          MEASURED r3: T=4096 LOSES on ogbn-products
+#                          (1046 ms vs 965 at T=1024) — the G>8 rolled
+#                          group loop (fori + dynamic per-group stream
+#                          reads; static unroll never finishes Mosaic
+#                          compile) costs ~2x per lane, eating the 4x
+#                          per-step-floor amortization plus 22% G-multiple
+#                          lane padding. Big-T stays opt-in via OFS_FUSED_T
+#                          until the rolled-loop cost is fixed.
+_BIG_T_NNZ = 8_000_000
 
 
 def build_fused_plan(

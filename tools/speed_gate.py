@@ -51,9 +51,17 @@ def main():
                     help="record current numbers as the new gates")
     args = ap.parse_args()
 
+    # >= 5 gated configs including the HEADLINE engine/graph (VERDICT r2
+    # item 3: a speed gate that does not gate the flagship is decoration —
+    # the round-2 regression sailed through a 2-entry stale gate file).
     configs = [
         ("cora", "auto", "xla"),
-        ("ogbn-products", "expansion", "pallas"),
+        ("ogbn-arxiv", "fused", "pallas"),
+        ("ogbn-arxiv", "ranges", "pallas"),
+        ("products-small", "fused", "pallas"),
+        ("products-small", "ranges", "pallas"),
+        ("ogbn-products", "fused", "pallas"),
+        ("ogbn-products", "ranges", "pallas"),
     ]
     if os.path.exists(args.gates):
         with open(args.gates) as f:
