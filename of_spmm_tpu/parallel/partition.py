@@ -161,7 +161,7 @@ class RowPartitionPlan:
     @property
     def halo_fraction(self) -> float:
         """Exchanged rows / owned rows — comms pressure indicator."""
-        return self.n_shards * self.halo_size / max(1, self.cols_per_shard)
+        return self.halo_rows_total / max(1, self.cols_per_shard)
 
     def comm_stats(self, d: int = 128, bytes_per: int = 4) -> dict:
         """Per-shard exchanged bytes: padded halo + hub broadcast vs the
