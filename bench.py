@@ -105,6 +105,13 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
                     f"scattered={p.n_scattered/1e6:.1f}M "
                     f"lanes={p.n_lanes/1e6:.1f}M multihot={p.multihot}")
         widths = []
+        from of_spmm_tpu.sparse.ranges import plan_memory_report as _rmr
+
+        mem = _rmr(p, d=min(d, 128))
+        log(f"[{name}] ranges HBM model: peak={mem['peak_bytes']/2**30:.2f} "
+            f"GiB budget={mem['budget_bytes']/2**30:.2f} GiB "
+            f"max_table={mem['max_table_bytes']/2**30:.2f} GiB "
+            f"segments={len(p.segments)} fits={mem['fits']}")
     elif isinstance(op.binned, FusedPlan):
         p = op.binned
         layout_s = (f"fused R={p.R} T={p.T} hot={p.n_hot} "

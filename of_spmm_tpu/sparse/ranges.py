@@ -181,6 +181,46 @@ class RangesPlan:
         return float(true_nnz) / max(self.n_lanes, 1)
 
 
+def plan_memory_report(plan: RangesPlan, d: int = 128,
+                       hbm_limit: Optional[int] = None) -> dict:
+    """Peak-HBM model for executing a RangesPlan (the headline engine's
+    analog of sparse/fused.py plan_memory_report; reference precedent:
+    compile-time memory planning, oneflow/core/job/compiler.cpp:107).
+
+    Segments are barrier-serialized, so the scattered take tables don't
+    stack: peak = plan arrays + X + outputs + headroom x largest table.
+    The builder's seg_stage_cap (3M rows ~ 1.5 GB) bounds the table, so
+    ranges plans fit by construction on >= 8 GB chips — this report makes
+    that checkable (tests/test_ranges_plan.py)."""
+    from of_spmm_tpu.sparse.fused import (
+        _BUDGET_FRACTION, _TABLE_HEADROOM, _nbytes, device_hbm_bytes)
+
+    hbm = hbm_limit or device_hbm_bytes()
+    n, m = plan.shape
+    plan_b = _nbytes(plan.hot_ids) + _nbytes(plan.row_scale) + \
+        _nbytes(plan.col_scale)
+    max_table = 0
+    for seg in plan.segments:
+        for leaf in (seg.ctrl, seg.scols, seg.rcopy, seg.lidx, seg.lrow,
+                     seg.blk, seg.tile_of, seg.val_hi, seg.val_lo,
+                     seg.stage_take):
+            plan_b += _nbytes(leaf)
+        if seg.stage_take is not None:
+            max_table = max(max_table, int(seg.stage_take.shape[0]) * 512)
+    x_b = m * d * 4 + m * _L * 4
+    out_rows = sum(seg.n_tiles * plan.R for seg in plan.segments)
+    out_b = 2 * out_rows * _L * 4
+    hot_b = plan.n_hot * 512
+    peak = plan_b + x_b + out_b + hot_b + int(_TABLE_HEADROOM * max_table)
+    budget = int(_BUDGET_FRACTION * hbm)
+    return {
+        "plan_bytes": plan_b, "x_bytes": x_b, "out_bytes": out_b,
+        "hot_bytes": hot_b, "max_table_bytes": max_table,
+        "peak_bytes": peak, "hbm_bytes": hbm, "budget_bytes": budget,
+        "fits": peak <= budget,
+    }
+
+
 def _best_window(cold_cols: np.ndarray, counts: np.ndarray, m: int,
                  rc: int) -> Tuple[int, int]:
     """(lo, mass) of the densest rc-row window over weighted cold cols.

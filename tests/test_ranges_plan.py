@@ -114,6 +114,22 @@ def test_ranges_duplicate_edges_coalesce():
     _check(plan, dense)
 
 
+def test_ranges_plan_memory_report():
+    """The headline engine's HBM model: small plans fit a 16 GB budget,
+    components are accounted, and a tiny limit reports not-fits."""
+    from of_spmm_tpu.sparse.ranges import plan_memory_report
+
+    dense, csr = _graph(1024, 1024, 0.01, rank1=True, seed=31, banded=0.3)
+    plan = build_ranges_plan(csr, T=256, hot_budget=256, hot_min_run=1,
+                             range_cap=256)
+    rep = plan_memory_report(plan, d=128, hbm_limit=16 << 30)
+    assert rep["fits"]
+    assert rep["peak_bytes"] >= (rep["plan_bytes"] + rep["x_bytes"]
+                                 + rep["out_bytes"])
+    tiny = plan_memory_report(plan, d=128, hbm_limit=1 << 20)
+    assert not tiny["fits"]
+
+
 def test_ranges_operator_spmm_and_grad():
     """layout=\"ranges\" through the operator API: forward + transpose-plan
     backward via the existing custom_vjp pairing
