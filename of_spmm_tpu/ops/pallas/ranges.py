@@ -169,13 +169,15 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
                     jnp.where(blk >= H_blocks, r_read, 0)), _L)
             win = hilo[pl.ds(woff, _L), :]
             if multihot:
+                # bitmask -> one-hot decode in 3 whole-(128,128) VPU ops
+                # (repeat, shift, and) instead of 4x(broadcast,shift,and)
+                # + concat — the decode is ~40% of per-group time
+                # (PROFILE_r03 back-solve)
                 mw = lidx_ref[pl.ds(g, 1)].reshape(4, _L)
-                parts = []
-                for w4 in range(4):
-                    word = jnp.broadcast_to(mw[w4:w4 + 1, :], (32, _L))
-                    sh = jax.lax.broadcasted_iota(jnp.int32, (32, _L), 0)
-                    parts.append(jnp.right_shift(word, sh) & 1)
-                ohT = jnp.concatenate(parts, axis=0)
+                rep = jnp.repeat(mw, 32, axis=0)          # (128, 128)
+                sh = jax.lax.broadcasted_iota(
+                    jnp.int32, (_L, _L), 0) % 32
+                ohT = jnp.right_shift(rep, sh) & 1
                 graw = jax.lax.dot_general(
                     ohT.astype(jnp.bfloat16), win,
                     (((0,), (0,)), ((), ())),

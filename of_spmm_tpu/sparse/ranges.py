@@ -54,7 +54,6 @@ DEFAULT_RANGE_CAP = 12288    # rows per range window (x 512B hi|lo bf16 x2
 DEFAULT_S_CAP = 8192         # scattered rows per tile (per parity)
 DEFAULT_SEG_STEPS = 8192
 DEFAULT_RQ = 1024            # rows per range-copy DMA (512 KB)
-DMAX_CAP = 640               # scattered row-DMAs per step (wave multiple)
 RMAX_CAP = 16                # range chunk copies per step
 _KEEP_FRAC = 0.90            # keep the current range while it covers this
 #                              fraction of the tile's best-window mass
