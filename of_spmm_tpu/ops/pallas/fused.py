@@ -201,8 +201,8 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (RS, _L), 0)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
 
-        def group_contrib(g):
-            """One lane group's (RS, 256) partial sum; g static or traced."""
+        def group_gather(g):
+            """One lane group's gathered (128, 256) hi|lo panel."""
             blk = blk_ref[0, 0, g]
             if chunks:
                 # cold windows live in the double-buffered staged region:
@@ -244,6 +244,10 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                 gath = jax.lax.dot_general(
                     oh, win, _DN, preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16)
+            return gath
+
+        def group_scatter(g, gath):
+            """Scatter one panel into the (RS, 256) partial sum."""
             roh = (
                 row_iota == lrow_ref[pl.ds(g, 1), :].reshape(1, _L)
             ).astype(jnp.bfloat16)
@@ -261,33 +265,32 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, blk_ref, lidx_ref, lrow_ref,
                 s = s + jnp.pad(s2, ((0, 0), (0, _L)))
             return s
 
+        # PHASED schedule (measured -11% on the ranges engine): all G
+        # gathers, then all G scatters — each group's gather->scatter is
+        # a dependent small-matmul chain; phasing hands the scheduler G
+        # independent matmuls back-to-back per phase. Even/odd
+        # accumulator chains keep the VPU adds off the critical path.
         if G <= 16:
-            # full static unroll, two independent accumulation chains
-            # (even/odd groups) so the VPU adds between groups don't
-            # serialize the MXU pipeline. G=16 compiles as two 8-group
-            # static chains joined by one add (the monolithic r2 G=16
-            # attempt never finished Mosaic compile; the rolled fori
-            # fallback below costs ~2x per lane — measured T=4096
-            # products regression).
+            gaths = [group_gather(g) for g in range(G)]
             acc0 = acc1 = None
             for g in range(G):
-                s = group_contrib(g)
+                s = group_scatter(g, gaths[g])
                 if g % 2 == 0:
                     acc0 = s if acc0 is None else acc0 + s
                 else:
                     acc1 = s if acc1 is None else acc1 + s
             acc = acc0 if acc1 is None else acc0 + acc1
         else:
-            # big T: Mosaic compile time explodes on a G-wide unroll
-            # (observed: G=16 never finished). Roll the group loop with a
-            # 4-group unrolled body, same even/odd accumulator split.
+            # big T: Mosaic compile time explodes on a G-wide unroll.
+            # Roll the group loop with a 4-group phased body.
             GU = 4
             z = jnp.zeros((RS, 2 * _L), jnp.float32)
 
             def gbody(j, carry):
                 a0, a1 = carry
+                gaths = [group_gather(j * GU + u) for u in range(GU)]
                 for u in range(GU):
-                    s = group_contrib(j * GU + u)
+                    s = group_scatter(j * GU + u, gaths[u])
                     if u % 2 == 0:
                         a0 = a0 + s
                     else:

@@ -159,7 +159,7 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (R, _L), 0)
         col_iota = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 1)
 
-        def group_contrib(g):
+        def group_gather(g):
             blk = blk_ref[0, 0, g]
             # unified window space: hot head | range (+parity) |
             # scattered (+parity)
@@ -193,6 +193,9 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
                 gath = jax.lax.dot_general(
                     oh, win, _DN, preferred_element_type=jnp.float32
                 ).astype(jnp.bfloat16)
+            return gath
+
+        def group_scatter(g, gath):
             roh = (
                 row_iota == lrow_ref[pl.ds(g, 1), :].reshape(1, _L)
             ).astype(jnp.bfloat16)
@@ -209,10 +212,16 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
                 s = s + jnp.pad(s2, ((0, 0), (0, _L)))
             return s
 
-        if G <= 8:
+        # PHASED schedule: all G gathers first, then all G scatters — a
+        # group's gather->scatter pair is a dependent small-matmul chain
+        # (~2 MXU pipeline latencies); phasing gives the scheduler G
+        # independent matmuls back-to-back in each phase instead of
+        # relying on cross-group interleaving of dependent chains.
+        if G <= 16:
+            gaths = [group_gather(g) for g in range(G)]
             acc0 = acc1 = None
             for g in range(G):
-                s = group_contrib(g)
+                s = group_scatter(g, gaths[g])
                 if g % 2 == 0:
                     acc0 = s if acc0 is None else acc0 + s
                 else:
@@ -224,8 +233,9 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
 
             def gbody(j, carry):
                 a0, a1 = carry
+                gaths = [group_gather(j * GU + u) for u in range(GU)]
                 for u in range(GU):
-                    s = group_contrib(j * GU + u)
+                    s = group_scatter(j * GU + u, gaths[u])
                     if u % 2 == 0:
                         a0 = a0 + s
                     else:
