@@ -68,15 +68,17 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         # the generator halves e before symmetrizing, so the built nnz ~=
         # the advertised edge count (data/graphs.py load_graph)
         nnz_est = cfg_n.n_edges
-        FT = int(FLAGS.get("OFS_FUSED_T")) or (
-            _BIG_T if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
         if layout == "ranges":
             from of_spmm_tpu.sparse.ranges import (
-                DEFAULT_RANGE_CAP, DEFAULT_S_CAP)
+                _BIG_T_RANGES, DEFAULT_RANGE_CAP, DEFAULT_S_CAP)
 
+            FT = int(FLAGS.get("OFS_FUSED_T")) or (
+                _BIG_T_RANGES if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
             ly_key = (f"|ly-ranges-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
                       f"-rc{DEFAULT_RANGE_CAP}-sc{DEFAULT_S_CAP}-v2")
         else:
+            FT = int(FLAGS.get("OFS_FUSED_T")) or (
+                _BIG_T if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
             ly_key = (f"|ly-fused-R{FR}-T{FT}-hot{DEFAULT_HOT_BUDGET}"
                       f"-chunks-ss{DEFAULT_SEG_STEPS}-v12")
     else:

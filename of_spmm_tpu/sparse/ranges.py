@@ -55,6 +55,12 @@ DEFAULT_S_CAP = 8192         # scattered rows per tile (per parity)
 DEFAULT_SEG_STEPS = 8192
 DEFAULT_RQ = 1024            # rows per range-copy DMA (512 KB)
 RMAX_CAP = 16                # range chunk copies per step
+_BIG_T_RANGES = 2048         # lanes/step for >=8M-nnz graphs: with the
+#                              phased gather/scatter schedule, G=16 static
+#                              edges out G=8 on ogbn-products (756.5 ms
+#                              vs 767.6) and is neutral on products-small
+#                              (44.2 vs 43.8); the fused engine keeps
+#                              T=1024 (its r2-measured best)
 _KEEP_FRAC = 0.90            # keep the current range while it covers this
 #                              fraction of the tile's best-window mass
 DEFAULT_MIN_BLOCK = 48       # a tile keeps a range 128-row block only if
@@ -263,7 +269,7 @@ def build_ranges_plan(
         from of_spmm_tpu.utils.config import FLAGS
 
         T = int(FLAGS.get("OFS_FUSED_T")) or (
-            _BIG_T if csr.nnz >= _BIG_T_NNZ else DEFAULT_T)
+            _BIG_T_RANGES if csr.nnz >= _BIG_T_NNZ else DEFAULT_T)
     n, m = csr.shape
     G = T // _L
     n_tiles = max(-(-n // R), 1)
