@@ -326,6 +326,17 @@ def partition_rows(
                                        minlength=S).max()), 1)
         return halo_rows + S * kmax
 
+    if split_boundary and not auto_hubs and hub_candidates[0]:
+        # the split dist_spmm body gathers [x_local | halo] only — it
+        # never appends the broadcast hub slab, so replicated-hub columns
+        # would read clipped/garbage rows (ADVICE r3). Reject loudly
+        # rather than computing silently wrong results.
+        raise ValueError(
+            "split_boundary=True is incompatible with replicate_hubs>0 "
+            "(the split compute body does not gather the hub slab); "
+            "use replicate_hubs=0 or split_boundary=False")
+    if split_boundary and auto_hubs:
+        hub_candidates = (0,)  # auto never picks hubs under split bodies
     if len(hub_candidates) > 1:
         K = min(hub_candidates, key=modeled_bytes)
     else:

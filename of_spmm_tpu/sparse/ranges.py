@@ -263,6 +263,7 @@ def build_ranges_plan(
     min_block: int = DEFAULT_MIN_BLOCK,
     stage_tier: int = 32768,
     cq: int = 32,
+    seg_stage_cap: int = 3_000_000,
 ) -> RangesPlan:
     """Host-side range-staging plan build (numpy + native pass-1)."""
     if T is None:
@@ -456,13 +457,18 @@ def build_ranges_plan(
     for rid in range(len(range_lo)):
         prev_steps = range_steps.get(rid - 1, steps_of[0]) if rid \
             else max(steps_of[0], 1)
-        RMAX = max(RMAX, -(-n_rq // max(prev_steps, 1)))
+        # fill_range spreads range rid's copies over span-1 steps (the
+        # last step is reserved for the one-behind wait before the next
+        # range's split), so size RMAX against that shorter span
+        # (ADVICE r3: ceil(n_rq/prev_steps) under-sizes when every range
+        # spans few steps and plan build overflows the rcopy rows)
+        RMAX = max(RMAX, -(-n_rq // max(prev_steps - 1, 1)))
     RMAX = min(max(RMAX, 1), max(RMAX_CAP, n_rq))
 
     # --- emit segments (cut only when a new range opens; bound the
     # per-segment scattered take table so its HBM liveness stays modest —
     # segments are barrier-serialized by the kernel wrapper) --------------
-    seg_stage_cap = 3_000_000  # rows (~1.5 GB of packed hi|lo table)
+    # seg_stage_cap rows (default ~1.5 GB of packed hi|lo table)
     segments = []
     seg_start = 0
     while seg_start < n_meta:
@@ -471,10 +477,14 @@ def build_ranges_plan(
         stage_sum = staged_of(seg_start)
         while seg_tiles[-1] + 1 < n_meta:
             nxt = seg_tiles[-1] + 1
-            opens_range = range_of[nxt] != range_of[seg_tiles[-1]]
             fits = (total + steps_of[nxt] <= seg_steps
                     and stage_sum + staged_of(nxt) <= seg_stage_cap)
-            if not fits and opens_range and first_piece[nxt]:
+            # cut at ANY tile (first-piece) boundary once the cap is hit:
+            # the new segment's prologue re-stages the active range, so a
+            # long-lived range no longer exempts its tiles from the
+            # seg_steps / seg_stage_cap bounds (ADVICE r3 — an unbounded
+            # per-segment take table recreates the round-2 runtime OOM)
+            if not fits and first_piece[nxt]:
                 break
             seg_tiles.append(nxt)
             total += steps_of[nxt]
@@ -485,7 +495,7 @@ def build_ranges_plan(
             use_rank1, stage_tier=stage_tier, cq=cq))
         seg_start = seg_tiles[-1] + 1
 
-    return RangesPlan(
+    plan = RangesPlan(
         segments=tuple(segments),
         hot_ids=hot_ids.astype(np.int32),
         row_scale=(row_scale.astype(np.float32) if use_rank1 else None),
@@ -498,6 +508,16 @@ def build_ranges_plan(
         n_scattered=int(n_scattered), n_lanes=int(n_lanes),
         stage_tier=int(stage_tier), cq=int(cq),
     )
+    rep = plan_memory_report(plan)
+    if not rep["fits"]:
+        from of_spmm_tpu.utils.errors import CapacityError
+
+        raise CapacityError(
+            f"ranges plan cannot fit device HBM: peak "
+            f"{rep['peak_bytes'] / 2**30:.2f} GiB > budget "
+            f"{rep['budget_bytes'] / 2**30:.2f} GiB; reduce seg_steps or "
+            f"use layout='fused'/'tiered'.")
+    return plan
 
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,

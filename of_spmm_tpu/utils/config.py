@@ -144,8 +144,11 @@ FLAGS.define_int(
 FLAGS.define_int(
     "OFS_FUSED_T",
     0,
-    "Force the fused-engine lanes-per-step T (sparse/fused.py); "
-    "0 = adaptive (4096 for graphs >= 16M nnz, else 1024).",
+    "Force the staging-engine lanes-per-step T; applies to BOTH the "
+    "fused engine (sparse/fused.py) and the ranges engine "
+    "(sparse/ranges.py). 0 = adaptive: the fused engine always picks "
+    "1024 (its measured best); the ranges engine picks 2048 for "
+    "graphs >= 8M nnz, else 1024.",
 )
 FLAGS.define_int(
     "OFS_HBM_BYTES",

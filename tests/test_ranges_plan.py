@@ -114,6 +114,51 @@ def test_ranges_duplicate_edges_coalesce():
     _check(plan, dense)
 
 
+def test_ranges_short_lived_ranges():
+    """Every tile opens a new short range (weakly clustered graph):
+    RMAX must be sized for fill_range's span-1 copy schedule (ADVICE r3
+    — ceil(n_rq/prev_steps) overflowed the rcopy rows and plan build
+    died with a broadcast ValueError)."""
+    n = 512
+    dense = np.zeros((n, n), np.float32)
+    rng = np.random.default_rng(17)
+    for t in range(n // 128):
+        # each 128-row tile's mass sits in its own distinct column band
+        lo = (t * 131) % (n - 128)
+        blk = (rng.random((128, 128)) < 0.5).astype(np.float32)
+        dense[t * 128:(t + 1) * 128, lo:lo + 128] += blk
+    dense = (dense > 0).astype(np.float32)
+    csr = CSR.from_dense(dense)
+    plan = build_ranges_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             rq=128)
+    assert plan.n_ranges >= 3
+    _check(plan, dense)
+
+
+def test_ranges_seg_stage_cap_cuts_inside_range():
+    """One long-lived range with heavy scattered volume: the per-segment
+    stage cap must cut segments at tile boundaries even when no new
+    range opens (ADVICE r3 — otherwise one segment's take table grows
+    unboundedly and recreates the round-2 OOM)."""
+    dense, csr = _graph(1024, 4096, 0.06, rank1=True, seed=23)
+    # range covers the first 256 cols for every tile (never switches);
+    # the rest is scattered
+    dense[:, :256] = 1.0
+    csr = CSR.from_dense(dense)
+    cap = 2048
+    plan = build_ranges_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             seg_steps=4096, seg_stage_cap=cap)
+    assert plan.n_ranges == 1
+    assert len(plan.segments) > 1  # cap forced cuts inside the range
+    for seg in plan.segments:
+        if seg.stage_take is not None:
+            # one tile's staged rows may exceed the cap on its own (a
+            # tile cannot be cut); every MULTI-tile segment honours it
+            if seg.n_tiles > 1:
+                assert seg.stage_take.shape[0] <= cap + 8192
+    _check(plan, dense)
+
+
 def test_ranges_plan_memory_report():
     """The headline engine's HBM model: small plans fit a 16 GB budget,
     components are accounted, and a tiny limit reports not-fits."""
