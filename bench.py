@@ -57,6 +57,18 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
             DEFAULT_CW, DEFAULT_R, DEFAULT_TILE)
 
         ly_key = f"|ly-exp3-R{DEFAULT_R}-T{DEFAULT_TILE}-C{DEFAULT_CW}"
+    elif layout == "panels":
+        from of_spmm_tpu.sparse.panels import (
+            _BIG_T_PANELS, DEFAULT_HOT_BUDGET as PHB, DEFAULT_HOT_MIN_RUN
+            as PMR, DEFAULT_MIN_BLOCK as PMB, DEFAULT_RANGE_CAP as PRC)
+        from of_spmm_tpu.data.graphs import NAMED_CONFIGS
+        from of_spmm_tpu.utils.config import FLAGS
+        from of_spmm_tpu.sparse.fused import _BIG_T_NNZ, DEFAULT_T
+
+        nnz_est = NAMED_CONFIGS[name].n_edges
+        FT = int(FLAGS.get("OFS_FUSED_T")) or (
+            _BIG_T_PANELS if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
+        ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v1")
     elif layout in ("fused", "ranges"):
         from of_spmm_tpu.sparse.fused import (
             _BIG_T, _BIG_T_NNZ, DEFAULT_HOT_BUDGET, DEFAULT_R as FR,
@@ -96,9 +108,26 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     from of_spmm_tpu.sparse.fused import FusedPlan
     from of_spmm_tpu.sparse.ranges import RangesPlan
 
+    from of_spmm_tpu.sparse.panels import PanelPlan
+
     if isinstance(op.binned, TieredEll):
         layout_s = f"tiered x{len(op.binned.tiers)}"
         widths = sorted({b.width for t in op.binned.tiers for b in t.buckets})
+    elif isinstance(op.binned, PanelPlan):
+        p = op.binned
+        layout_s = (f"panels T={p.T} hot={p.n_hot} RC={p.RC} "
+                    f"ranges={p.n_ranges} "
+                    f"range_rows={p.n_range_rows/1e6:.1f}M "
+                    f"scattered={p.n_scattered/1e6:.1f}M "
+                    f"groups={p.n_groups/1e6:.2f}M")
+        widths = []
+        from of_spmm_tpu.sparse.panels import plan_memory_report as _pmr
+
+        mem = _pmr(p, d=min(d, 128))
+        log(f"[{name}] panels HBM model: peak={mem['peak_bytes']/2**30:.2f} "
+            f"GiB budget={mem['budget_bytes']/2**30:.2f} GiB "
+            f"max_table={mem['max_table_bytes']/2**30:.2f} GiB "
+            f"segments={len(p.segments)} fits={mem['fits']}")
     elif isinstance(op.binned, RangesPlan):
         p = op.binned
         layout_s = (f"ranges R={p.R} T={p.T} hot={p.n_hot} RC={p.RC} "
@@ -273,14 +302,23 @@ def bench_spmv(name: str, iters: int = 8):
               contrib)
     rel = float(np.abs(np.asarray(y) - want).max()
                 / (np.abs(want).max() + 1e-12))
-    ts = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        f(op, x + 0.0).block_until_ready()
-        ts.append(time.perf_counter() - t0)
-    sec = sorted(ts)[len(ts) // 2]
-    log(f"[spmv {name}] {sec*1e3:.3f} ms  parity rel={rel:.2e}")
-    return {"ms": sec * 1e3, "parity_rel": rel}
+    # delta-chained timing (utils/roofline.py time_chained): v <- A_hat v
+    # inside one jit, k1 vs k2 — the r3 per-call loop measured ~33 ms of
+    # tunnel dispatch latency for a 10K-nnz SpMV (VERDICT r3 item 6)
+    from of_spmm_tpu.utils.roofline import time_chained
+
+    def mk(k):
+        def g(o, v):
+            def body(i, carry):
+                s, a = carry
+                yy = spmv(o, a)
+                return (s + yy[0] * 1e-30, yy)
+            return jax.lax.fori_loop(0, k, body, (0.0, v))[1]
+        return jax.jit(g)
+
+    sec = time_chained(mk, op, x, k1=1, iters=iters, est_iter_s=1e-4)
+    log(f"[spmv {name}] {sec*1e6:.1f} us  parity rel={rel:.2e}")
+    return {"us": sec * 1e6, "parity_rel": rel}
 
 
 def bench_all(args):
@@ -362,7 +400,7 @@ def main():
                     help="column tier size override (sparse/tiled.py)")
     ap.add_argument("--layout", default="auto",
                     choices=("auto", "binned", "tiered", "expansion",
-                             "fused", "ranges"),
+                             "fused", "ranges", "panels"),
                     help="plan layout (ops/autograd.py make_operator)")
     ap.add_argument("--op", default="spmm", choices=("spmm", "spgemm"),
                     help="which benchmark to run")
@@ -396,24 +434,25 @@ def main():
     meta = {}
     if args.layout == "auto" and set(impls) == {"xla", "pallas"}:
         # each impl on its measured-best layout: XLA on the tiered/binned
-        # auto choice; the Pallas engines on their own plans — the r3
-        # range-staging engine (flagship) and the r2 fused staging engine
-        # (fallback). All three report; the best wins the headline and
-        # any failure is surfaced in the JSON.
+        # auto choice; the Pallas engines on their own plans — the r4
+        # dense-mask panel engine (flagship) and the r3 range-staging
+        # engine (fallback; also the non-rank-1 path). All three report;
+        # the best wins the headline and any failure is surfaced in the
+        # JSON.
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=("xla",), tier_size=args.tier_size,
                               layout="auto")
         meta["auto"] = results.pop("_meta", {})
+        pan = bench_graph(args.graph, d=args.d, iters=args.iters,
+                          impls=("pallas",), tier_size=args.tier_size,
+                          layout="panels")
+        meta["panels"] = pan.pop("_meta", {})
+        results.update({"pallas-panels": v for v in pan.values()})
         rng_r = bench_graph(args.graph, d=args.d, iters=args.iters,
                             impls=("pallas",), tier_size=args.tier_size,
                             layout="ranges")
         meta["ranges"] = rng_r.pop("_meta", {})
         results.update({"pallas-ranges": v for v in rng_r.values()})
-        exp = bench_graph(args.graph, d=args.d, iters=args.iters,
-                          impls=("pallas",), tier_size=args.tier_size,
-                          layout="fused")
-        meta["fused"] = exp.pop("_meta", {})
-        results.update({"pallas-fused": v for v in exp.values()})
     else:
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=impls, tier_size=args.tier_size,

@@ -222,17 +222,19 @@ def make_operator(
         return place_operator(op) if place else op
 
     if layout not in ("auto", "binned", "tiered", "expansion", "fused",
-                      "ranges"):
+                      "ranges", "panels"):
         raise ValueError(
-            "layout must be auto|binned|tiered|expansion|fused|ranges, "
-            f"got {layout!r}")
+            "layout must be auto|binned|tiered|expansion|fused|ranges|"
+            f"panels, got {layout!r}")
     from of_spmm_tpu.sparse.tiled import DEFAULT_TIER_SIZE, bin_rows_tiered
 
     ts = tier_size or DEFAULT_TIER_SIZE
     if layout == "auto":
         layout = "tiered" if csr.shape[1] > ts else "binned"
-    if layout in ("fused", "ranges"):
-        if layout == "ranges":
+    if layout in ("fused", "ranges", "panels"):
+        if layout == "panels":
+            from of_spmm_tpu.sparse.panels import build_panels_plan as _bp
+        elif layout == "ranges":
             from of_spmm_tpu.sparse.ranges import build_ranges_plan as _bp
         else:
             from of_spmm_tpu.sparse.fused import build_fused_plan as _bp
@@ -378,8 +380,14 @@ def _spmm_impl(binned, x: jnp.ndarray, impl: str) -> jnp.ndarray:
     from of_spmm_tpu.sparse.fused import FusedPlan
     from of_spmm_tpu.sparse.tiled import TieredEll
 
+    from of_spmm_tpu.sparse.panels import PanelPlan
     from of_spmm_tpu.sparse.ranges import RangesPlan
 
+    if isinstance(binned, PanelPlan):
+        # dense-mask panel engine — the layout IS the implementation
+        from of_spmm_tpu.ops.pallas.panels import spmm_panels
+
+        return spmm_panels(binned, x)
     if isinstance(binned, RangesPlan):
         # range-staging engine — the layout IS the implementation
         from of_spmm_tpu.ops.pallas.ranges import spmm_ranges

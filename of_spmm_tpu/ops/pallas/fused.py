@@ -337,8 +337,11 @@ def _stage_table(seg: FusedSegment, plan: FusedPlan,
     if not outs:
         return jnp.zeros((_L, 256), jnp.bfloat16)
     g = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
-    hi = g.astype(jnp.bfloat16)
-    lo = (g - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    # bitcast split: XLA folds the naive x - f32(bf16(x)) residual to
+    # ZERO under --xla_allow_excess_precision (ops/pallas/expansion.py)
+    from of_spmm_tpu.ops.pallas.expansion import split_hilo
+
+    hi, lo = split_hilo(g)
     return jnp.concatenate([hi, lo], axis=1)
 
 
@@ -426,9 +429,10 @@ def _spmm_fused_jit(plan: FusedPlan, x: jnp.ndarray,
         xs = xs * plan.col_scale[:, None]
     H = plan.n_hot
     if H:
+        from of_spmm_tpu.ops.pallas.expansion import split_hilo
+
         hot = jnp.take(xs, plan.hot_ids, axis=0)
-        hi = hot.astype(jnp.bfloat16)
-        lo = (hot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = split_hilo(hot)
         hot_hilo = jnp.concatenate([hi, lo], axis=1)
     else:
         hot_hilo = jnp.zeros((_L, 256), jnp.bfloat16)

@@ -1,0 +1,324 @@
+"""Panel-engine SpMM kernel: dense adjacency-mask MXU groups.
+
+Executes a sparse/panels.py PanelPlan, one pallas_call per segment. Per
+grid step the kernel interprets the plan's control word:
+
+1. scattered staging: a few LARGE contiguous block DMAs (SCQ=1024-row
+   bigs + TQ=128-row tails) copy this step's slice of the per-segment
+   LINEAR f32 take table (built by one XLA gather in exactly window
+   order) into the f32 scattered scratch, one step behind on
+   parity-split semaphore slots — replacing the r3 tier-major table's
+   ~2M 32-row chunk copies per SpMM (the measured r3 staging wall);
+2. range staging: RQ-row block DMAs copy the NEXT range's contiguous X
+   rows into the f32 range scratch (parity ping-pong across ranges);
+3. first step of a range / of a tile: split the f32 rows into the
+   packed [hi|lo] bf16 window region (chunked VPU casts, ~0.1 ns/row);
+4. every compute step: G dense-mask groups — decode the (4,128) int32
+   bitmask to a (window-row x output-row) 0/1 matrix and run ONE
+   128x128x256 matmul against the window block; the result IS the tile
+   contribution. No scatter one-hot, no hi/lo recombine, no lane
+   stream: r3's per-group machinery is gone (PROFILE_r04.md).
+
+Reference semantics: gather x segment-sum (oneflow/user/ops/
+gather_op.cpp:51-82, unsorted_segment_sum_kernel_util.cu:52-151).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from of_spmm_tpu.sparse.panels import (
+    _L, BMAX, SCQ, TMAX, TQ, PanelPlan, PanelSegment)
+
+# semaphore slots: bigs 0..2*BMAX-1, tails 2*BMAX..2*BMAX+2*TMAX-1,
+# ranges last 4
+_SB = 0
+_ST = 2 * BMAX
+_SR = 2 * BMAX + 2 * TMAX
+_NSEM = _SR + 4
+_RG_HALF = 2
+
+
+def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, blk_ref, masks_ref,
+            hot_ref, xs_ref, table_ref, o_ref, hilo, range_f32, scat_f32,
+            sem, *, R, G, S_buf, RC, H_blocks, RMAX, RQ, interpret):
+    i = pl.program_id(0)
+    tile = ctrl_ref[0, 0, 0]
+    s_src = ctrl_ref[0, 0, 2]
+    s_big = ctrl_ref[0, 0, 3]
+    r_cnt = ctrl_ref[0, 0, 4]
+    s_dst = ctrl_ref[0, 0, 5]
+    prev_big = ctrl_ref[0, 0, 6]
+    s_tail = ctrl_ref[0, 0, 7]
+    prev_tail = ctrl_ref[0, 0, 8]
+    zero_out = ctrl_ref[0, 0, 9]
+    r_first = ctrl_ref[0, 0, 10]
+    r_read = ctrl_ref[0, 0, 11]
+    prev_r_cnt = ctrl_ref[0, 0, 12]
+    s_read = ctrl_ref[0, 0, 13]
+    s_ext = ctrl_ref[0, 0, 14]
+    t_first = ctrl_ref[0, 0, 15]
+    do_comp = tile >= 0
+    RCB = RC // _L
+
+    # ---- hot table: copy into the window head once per segment ----------
+    if H_blocks:
+        @pl.when(i == 0)
+        def _():
+            hilo[0:H_blocks * _L, :] = hot_ref[:]
+
+    # ---- scattered staging: linear table -> f32 scratch -----------------
+    # big chunks only exist when a tile can stage >= SCQ rows (static)
+    use_big = plan_S_buf_ge_scq = S_buf >= SCQ
+
+    def scat_block(half_issue, half_wait):
+        # ALL waits for the previous step run BEFORE any new start
+        for k in range(BMAX if use_big else 0):
+            @pl.when(jnp.logical_and(i > 0, k < prev_big))
+            def _(k=k):
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(0, SCQ), :],
+                    scat_f32.at[pl.ds(0, SCQ), :],
+                    sem.at[_SB + k + half_wait * BMAX]).wait()
+        for k in range(TMAX):
+            @pl.when(jnp.logical_and(i > 0, k < prev_tail))
+            def _(k=k):
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(0, TQ), :],
+                    scat_f32.at[pl.ds(0, TQ), :],
+                    sem.at[_ST + k + half_wait * TMAX]).wait()
+        for k in range(BMAX if use_big else 0):
+            @pl.when(k < s_big)
+            def _(k=k):
+                src = pl.multiple_of(s_src + k * SCQ, TQ)
+                dst = pl.multiple_of(s_dst + k * SCQ, TQ)
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(src, SCQ), :],
+                    scat_f32.at[pl.ds(dst, SCQ), :],
+                    sem.at[_SB + k + half_issue * BMAX]).start()
+        for k in range(TMAX):
+            @pl.when(k < s_tail)
+            def _(k=k):
+                src = pl.multiple_of(s_src + s_big * SCQ + k * TQ, TQ)
+                dst = pl.multiple_of(s_dst + s_big * SCQ + k * TQ, TQ)
+                pltpu.make_async_copy(
+                    table_ref.at[pl.ds(src, TQ), :],
+                    scat_f32.at[pl.ds(dst, TQ), :],
+                    sem.at[_ST + k + half_issue * TMAX]).start()
+
+    @pl.when(i % 2 == 0)
+    def _():
+        scat_block(0, 1)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        scat_block(1, 0)
+
+    # ---- range block copies (RQ-row chunks from X) ----------------------
+    def rng_block(slot_issue, slot_wait):
+        for k in range(RMAX):
+            @pl.when(jnp.logical_and(i > 0, k < prev_r_cnt))
+            def _(k=k):
+                pltpu.make_async_copy(
+                    xs_ref.at[pl.ds(0, RQ), :],
+                    range_f32.at[pl.ds(0, RQ), :],
+                    sem.at[_SR + (k % _RG_HALF) + slot_wait]).wait()
+        for k in range(RMAX):
+            @pl.when(k < r_cnt)
+            def _(k=k):
+                src = rcopy_ref[0, 0, k]
+                dst = pl.multiple_of(rcopy_ref[0, 1, k], RQ)
+                pltpu.make_async_copy(
+                    xs_ref.at[pl.ds(src, RQ), :],
+                    range_f32.at[pl.ds(dst, RQ), :],
+                    sem.at[_SR + (k % _RG_HALF) + slot_issue]).start()
+
+    @pl.when(i % 2 == 0)
+    def _():
+        rng_block(0, _RG_HALF)
+
+    @pl.when(i % 2 == 1)
+    def _():
+        rng_block(_RG_HALF, 0)
+
+    # ---- zero output on the first step of a tile's first piece ----------
+    @pl.when(jnp.logical_and(do_comp, zero_out == 1))
+    def _():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    SPLIT = 2048
+
+    # ---- first step of a RANGE: split f32 range rows -> window ----------
+    @pl.when(jnp.logical_and(do_comp, r_first == 1))
+    def _():
+        for c0 in range(0, RC, SPLIT):
+            cn = min(SPLIT, RC - c0)   # exact tail: RC need not be a
+            #                            SPLIT multiple (small graphs) —
+            #                            a full-chunk tail would clobber
+            #                            the scattered window region
+            roff = pl.multiple_of(r_read + c0, _L)
+            rbuf = range_f32[pl.ds(roff, cn), :]
+            hi = rbuf.astype(jnp.bfloat16)
+            lo = (rbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            woff = pl.multiple_of(H_blocks * _L + r_read + c0, _L)
+            hilo[pl.ds(woff, cn), 0:_L] = hi
+            hilo[pl.ds(woff, cn), _L:2 * _L] = lo
+
+    # ---- first step of a TILE: split f32 scattered rows -> window -------
+    SC = min(SPLIT, S_buf)
+
+    @pl.when(jnp.logical_and(do_comp,
+                             jnp.logical_and(t_first == 1, s_ext > 0)))
+    def _():
+        for c0 in range(0, S_buf, SC):
+            @pl.when(c0 < s_ext)
+            def _(c0=c0):
+                soff = pl.multiple_of(s_read + c0, _L)
+                sbuf = scat_f32[pl.ds(soff, SC), :]
+                hi = sbuf.astype(jnp.bfloat16)
+                lo = (sbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                woff = pl.multiple_of(
+                    H_blocks * _L + 2 * RC + s_read + c0, _L)
+                hilo[pl.ds(woff, SC), 0:_L] = hi
+                hilo[pl.ds(woff, SC), _L:2 * _L] = lo
+
+    # ---- dense-mask groups: decode + one matmul each --------------------
+    @pl.when(do_comp)
+    def _():
+        def group(g):
+            blk = blk_ref[0, 0, g]
+            woff = pl.multiple_of(
+                blk * _L + jnp.where(
+                    blk >= H_blocks + RCB, RC + s_read,
+                    jnp.where(blk >= H_blocks, r_read, 0)), _L)
+            win = hilo[pl.ds(woff, _L), :]
+            mw = masks_ref[pl.ds(g, 1)].reshape(4, _L)
+            rep = jnp.repeat(mw, 32, axis=0)                 # (128, 128)
+            sh = jax.lax.broadcasted_iota(jnp.int32, (_L, _L), 0) % 32
+            ohT = jnp.right_shift(rep, sh) & 1               # (w, r)
+            return jax.lax.dot_general(
+                ohT.astype(jnp.bfloat16), win,
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)          # (r, 256)
+
+        acc0 = acc1 = None
+        for g in range(G):
+            s = group(g)
+            if g % 2 == 0:
+                acc0 = s if acc0 is None else acc0 + s
+            else:
+                acc1 = s if acc1 is None else acc1 + s
+        acc = acc0 if acc1 is None else acc0 + acc1
+        o_ref[:] = o_ref[:] + acc[:, :_L] + acc[:, _L:]
+
+
+def _segment_call(seg: PanelSegment, plan: PanelPlan, hot_hilo, xs,
+                  interpret: bool) -> jnp.ndarray:
+    R = plan.R
+    G = plan.T // _L
+    H_blocks = plan.n_hot // _L
+
+    kernel = functools.partial(
+        _kernel, R=R, G=G, S_buf=plan.S_buf, RC=plan.RC,
+        H_blocks=H_blocks, RMAX=plan.RMAX, RQ=plan.RQ,
+        interpret=interpret)
+
+    def smem(shape):
+        return pl.BlockSpec(shape,
+                            lambda i, t: (i,) + (0,) * (len(shape) - 1),
+                            memory_space=pltpu.SMEM)
+
+    in_specs = [
+        smem((1, 1, 16)),                    # ctrl
+        smem((1, 2, plan.RMAX)),             # rcopy
+        smem((1, 1, G)),                     # blk
+        pl.BlockSpec((G, 4, _L), lambda i, t: (i, 0, 0),
+                     memory_space=pltpu.VMEM),   # masks
+        pl.BlockSpec((max(H_blocks * _L, _L), 256), lambda i, t: (0, 0),
+                     memory_space=pltpu.VMEM),   # hot (hi|lo)
+        pl.BlockSpec(memory_space=pl.ANY),       # X (HBM, f32)
+        pl.BlockSpec(memory_space=pl.ANY),       # linear take table (f32)
+    ]
+    table = jnp.take(xs, jnp.asarray(seg.stage_take), axis=0,
+                     mode="clip")
+    args = [seg.ctrl, seg.rcopy, seg.blk, seg.masks, hot_hilo, xs, table]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(seg.n_steps,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((R, _L), lambda i, t: (t[i], 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM(
+                (H_blocks * _L + 2 * plan.RC + 2 * plan.S_buf, 256),
+                jnp.bfloat16),
+            pltpu.VMEM((2 * plan.RC, _L), jnp.float32),
+            pltpu.VMEM((2 * plan.S_buf, _L), jnp.float32),
+            pltpu.SemaphoreType.DMA((_NSEM,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((seg.n_tiles * R, _L), jnp.float32),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=128 * 1024 * 1024),
+    )(seg.tile_of, *args)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def _spmm_panels_jit(plan: PanelPlan, x: jnp.ndarray,
+                     interpret: bool) -> jnp.ndarray:
+    xs = x.astype(jnp.float32) * plan.col_scale[:, None]
+    m = xs.shape[0]
+    target = max(-(-m // _L) * _L, plan.RC)
+    if target > m:
+        xs = jnp.pad(xs, ((0, target - m), (0, 0)))
+    H = plan.n_hot
+    if H:
+        # bitcast split (ops/pallas/expansion.py): the naive
+        # x - f32(bf16(x)) residual is constant-folded to ZERO by XLA
+        # under --xla_allow_excess_precision on the attached chip,
+        # silently degrading the pair to single-bf16
+        from of_spmm_tpu.ops.pallas.expansion import split_hilo
+
+        hot = jnp.take(xs, plan.hot_ids, axis=0)
+        hi, lo = split_hilo(hot)
+        hot_hilo = jnp.concatenate([hi, lo], axis=1)
+    else:
+        hot_hilo = jnp.zeros((_L, 256), jnp.bfloat16)
+    outs = []
+    for seg in plan.segments:
+        outs.append(_segment_call(seg, plan, hot_hilo, xs, interpret))
+        if len(plan.segments) > 1:
+            # serialize segments so only ~one take table is live at a
+            # time (HBM liveness model, sparse/panels.py)
+            xs, _ = jax.lax.optimization_barrier((xs, outs[-1][0, 0]))
+    out = jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+    out = out[: plan.shape[0]]
+    return out * plan.row_scale[:, None]
+
+
+def spmm_panels(plan: PanelPlan, x: jnp.ndarray,
+                interpret: Optional[bool] = None) -> jnp.ndarray:
+    """Y = A @ X with the panel engine (128-wide feature slabs)."""
+    from of_spmm_tpu.ops.pallas.spmm import _pad_features
+    from of_spmm_tpu.utils.config import pallas_interpret_default
+
+    if interpret is None:
+        interpret = pallas_interpret_default()
+    xp, d = _pad_features(x.astype(jnp.float32))
+    slabs = []
+    for s0 in range(0, xp.shape[1], _L):
+        slabs.append(_spmm_panels_jit(plan, xp[:, s0:s0 + _L], interpret))
+    out = jnp.concatenate(slabs, axis=1) if len(slabs) > 1 else slabs[0]
+    return out[:, :d].astype(x.dtype)

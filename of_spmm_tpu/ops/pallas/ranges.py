@@ -140,18 +140,19 @@ def _kernel(tile_of_ref, ctrl_ref, scols_ref, rcopy_ref, blk_ref,
         o_ref[:] = jnp.zeros_like(o_ref)
 
     # ---- first step of a RANGE: split f32 range rows -> window ----------
-    SPLIT_CHUNK = min(2048, RC)
-
     @pl.when(jnp.logical_and(do_comp, r_first == 1))
     def _():
-        for c0 in range(0, RC, SPLIT_CHUNK):
+        for c0 in range(0, RC, 2048):
+            cn = min(2048, RC - c0)  # exact tail: RC need not be a 2048
+            #                          multiple — a full-chunk tail would
+            #                          clobber the scattered region
             roff = pl.multiple_of(r_read + c0, _L)
-            rbuf = range_f32[pl.ds(roff, SPLIT_CHUNK), :]
+            rbuf = range_f32[pl.ds(roff, cn), :]
             hi = rbuf.astype(jnp.bfloat16)
             lo = (rbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
             woff = pl.multiple_of(H_blocks * _L + r_read + c0, _L)
-            hilo[pl.ds(woff, SPLIT_CHUNK), 0:_L] = hi
-            hilo[pl.ds(woff, SPLIT_CHUNK), _L:2 * _L] = lo
+            hilo[pl.ds(woff, cn), 0:_L] = hi
+            hilo[pl.ds(woff, cn), _L:2 * _L] = lo
 
     # ---- multi-hot gather + scatter (fused engine compute path) ---------
     @pl.when(do_comp)
@@ -335,9 +336,14 @@ def _spmm_ranges_jit(plan: RangesPlan, x: jnp.ndarray,
         xs = jnp.pad(xs, ((0, target - m), (0, 0)))
     H = plan.n_hot
     if H:
+        # bitcast split (ops/pallas/expansion.py): the naive
+        # x - f32(bf16(x)) residual is constant-folded to ZERO by XLA
+        # under --xla_allow_excess_precision on the attached chip,
+        # silently degrading the pair to single-bf16
+        from of_spmm_tpu.ops.pallas.expansion import split_hilo
+
         hot = jnp.take(xs, plan.hot_ids, axis=0)
-        hi = hot.astype(jnp.bfloat16)
-        lo = (hot - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        hi, lo = split_hilo(hot)
         hot_hilo = jnp.concatenate([hi, lo], axis=1)
     else:
         hot_hilo = jnp.zeros((_L, 256), jnp.bfloat16)

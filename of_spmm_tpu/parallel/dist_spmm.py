@@ -167,6 +167,44 @@ def _make_pallas_local(plan: RowPartitionPlan, split: bool):
     return g
 
 
+def _make_panels_local(plan: RowPartitionPlan):
+    """Differentiable panel-engine local SpMM (VERDICT r3 item 2): the r4
+    flagship runs inside the shard_map body over [own X | halo | hub];
+    backward runs the stacked TRANSPOSE panel plan (dXcat = A_local^T @
+    dY) — the distributed face of gradient_funcs/gather.cpp:62-73.
+
+    Plan leaves are ARGUMENTS (custom_vjp forbids traced closures);
+    their cotangents are structural zeros."""
+    from of_spmm_tpu.ops.pallas.panels import spmm_panels
+    from of_spmm_tpu.parallel.partition import make_panel_plan
+
+    aux_f, aux_b = plan.panel_aux
+
+    def _sq(leaves):
+        return tuple(a.reshape(a.shape[1:]) for a in leaves)
+
+    if plan.panel_bwd is None:
+        def f0(fwd_lv, bwd_lv, xcat):
+            return spmm_panels(make_panel_plan(_sq(fwd_lv), aux_f), xcat)
+        return f0
+
+    @jax.custom_vjp
+    def f(fwd_lv, bwd_lv, xcat):
+        return spmm_panels(make_panel_plan(_sq(fwd_lv), aux_f), xcat)
+
+    def f_fwd(fwd_lv, bwd_lv, xcat):
+        return f(fwd_lv, bwd_lv, xcat), (fwd_lv, bwd_lv)
+
+    def f_bwd(res, dy):
+        fwd_lv, bwd_lv = res
+        dxcat = spmm_panels(make_panel_plan(_sq(bwd_lv), aux_b), dy)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like, (fwd_lv, bwd_lv))
+        return (*zeros, dxcat)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
 def _gather_hubs(plan, hub_idx_local, x_local, axis):
     """One small all_gather of the replicated hub rows, reordered to
     hub-rank order (the plan's remapped tail of the local index space)."""
@@ -195,6 +233,10 @@ def dist_spmm(
             f"plan built for {S} shards but mesh axis {axis!r} has "
             f"{mesh.shape[axis]} devices"
         )
+    if impl == "panels" and plan.panel_fwd is None:
+        raise ValueError(
+            "impl='panels' needs a plan built with "
+            "partition_rows(..., local_engine='panels')")
     H = plan.halo_size
     d = x.shape[1]
     xp = pad_x_for_plan(plan, x)
@@ -264,10 +306,19 @@ def dist_spmm(
 
     bucket_arrays = _arrays(plan.buckets)
     f_plain = _make_pallas_local(plan, split=False) if diff_pallas else None
+    use_panels = impl == "panels"
+    if use_panels and plan.panel_fwd is None:
+        raise ValueError(
+            "impl='panels' needs a plan built with "
+            "partition_rows(..., local_engine='panels')")
+    f_panels = _make_panels_local(plan) if use_panels else None
+    p_fwd_arrays = plan.panel_fwd if use_panels else ()
+    p_bwd_arrays = (plan.panel_bwd or ()) if use_panels else ()
     hub_idx = (plan.hub_local_idx if plan.n_hubs
                else jnp.zeros((S, 1), jnp.int32))
 
-    def body(send_idx, off_sends, buckets, t_arr, hub_idx_local, x_local):
+    def body(send_idx, off_sends, buckets, t_arr, p_fwd, p_bwd,
+             hub_idx_local, x_local):
         # 1) + 2) export and exchange halo rows: one padded all_to_all, or
         # per-offset ppermutes when the plan is ragged
         if plan.ragged:
@@ -279,11 +330,14 @@ def dist_spmm(
             halo = jax.lax.all_to_all(
                 send, axis, split_axis=0, concat_axis=0, tiled=False
             ).reshape(S * H, d)
-        # 3) local row-binned SpMM over [own rows ; halo ; hub broadcast]
+        # 3) local SpMM over [own rows ; halo ; hub broadcast] — binned
+        # kernel, or the r4 panel engine when the plan carries one
         parts = [x_local, halo]
         if plan.n_hubs:
             parts.append(_gather_hubs(plan, hub_idx_local, x_local, axis))
         xcat = jnp.concatenate(parts, axis=0)
+        if use_panels:
+            return f_panels(p_fwd, p_bwd, xcat)
         if diff_pallas:
             return f_plain(_squeeze(buckets), _squeeze(t_arr), xcat)
         return _spmm(buckets, xcat)
@@ -296,13 +350,15 @@ def dist_spmm(
                   jax.tree_util.tree_map(lambda _: P(axis), off_sends),
                   jax.tree_util.tree_map(lambda _: P(axis), bucket_arrays),
                   jax.tree_util.tree_map(lambda _: P(axis), t_arrays),
+                  jax.tree_util.tree_map(lambda _: P(axis), p_fwd_arrays),
+                  jax.tree_util.tree_map(lambda _: P(axis), p_bwd_arrays),
                   P(axis),
                   P(axis)),
         out_specs=P(axis),
         check_vma=False,  # pallas_call inside the body predates vma typing
     )
-    out = shard(plan.send_idx, off_sends, bucket_arrays, t_arrays, hub_idx,
-                xp)
+    out = shard(plan.send_idx, off_sends, bucket_arrays, t_arrays,
+                p_fwd_arrays, p_bwd_arrays, hub_idx, xp)
     return _unpack_y(plan, out)
 
 

@@ -161,12 +161,21 @@ def factor_rank1(csr: CSR, rtol: float = 1e-6):
         inv_in = np.where(deg_in > 0, 1.0 / deg_in, 0.0)
         rs_out = np.where(deg_out > 0, deg_out ** -0.5, 0.0)
         rs_in = np.where(deg_in > 0, deg_in ** -0.5, 0.0)
-    candidates = (
+    candidates = [
         (np.ones(n), np.ones(m)),                # unweighted
         (rs_out, rs_in),                         # sym normalized
         (inv_out, np.ones(m)),                   # row normalized
         (np.ones(n), inv_in),                    # col normalized
-    )
+    ]
+    if n == m:
+        # GCN normalization on a DIRECTED square graph applies the same
+        # row-degree-based D^-1/2 on both sides (models/gcn.py
+        # normalized_adjacency) — c_j = rowdeg_j^-1/2, not coldeg; the
+        # TRANSPOSE of that matrix factors with col degrees on both sides
+        candidates.append((rs_out, rs_out))
+        candidates.append((inv_out, inv_out))
+        candidates.append((rs_in, rs_in))
+        candidates.append((inv_in, inv_in))
     # screen candidates on a small random edge sample, then verify the
     # survivor on a capped subsample (a 4M-edge verification bounds the
     # chance of a false rank-1 classification far below the parity

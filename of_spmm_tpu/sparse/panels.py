@@ -1,0 +1,682 @@
+"""Panel-engine SpMM plan: dense adjacency-mask groups + linear staging.
+
+The round-4 engine, superseding sparse/ranges.py for rank-1-factorable
+values (the framework's normalized adjacencies). Two r3 findings drive
+the redesign (PROFILE_r04.md):
+
+1. **Every multi-hot group was already one (tile, 128-col-block) pair**
+   (lanes within a group share one window block). So the lane
+   indirection is pure overhead: the group's bitmask can index OUTPUT
+   ROWS directly — ``mask[w, r] = 1`` iff edge (tile row r <- window row
+   w) — and the gather matmul's result IS the tile contribution. The
+   scatter one-hot matmul, the hi/lo recombine+re-split, and the lrow
+   stream all disappear; per group the kernel runs one decode + one
+   128x128x256 MXU matmul + one accumulate.
+2. **The r3 engine was take-phase-bound, not compute-bound** (the r3
+   take-only ablation was DCE'd by XLA; re-measured in
+   tools/microbench_take_order.py: XLA row gather ~7.5 ns/row f32).
+   The tier-major run-aligned staged table (and its ~2M 32-row chunk
+   DMAs per SpMM) is replaced by a LINEAR table: the XLA phase gathers
+   each tile's scattered rows f32 in exactly the order the window
+   consumes them (measured within 5% of the tiered take), so the kernel
+   stages each tile with a few large contiguous block DMAs and splits
+   hi|lo on the VPU (~0.1 ns/row).
+
+Unchanged from r3: VMEM-resident hot hubs; contiguous X range windows
+block-DMA'd from HBM with cross-tile persistence; per-tile scattered
+remainder; thin range blocks demoted to the packed scattered space.
+
+Reference semantics: gather x segment-sum
+(oneflow/user/ops/gather_op.cpp:51-82,
+oneflow/user/kernels/unsorted_segment_sum_kernel_util.cu:52-151).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import numpy as np
+
+from of_spmm_tpu.sparse.formats import CSR
+from of_spmm_tpu.sparse.fused import (
+    _L, _BIG_T_NNZ, DEFAULT_T, choose_hot, coalesce_duplicates,
+    factor_rank1)
+from of_spmm_tpu.sparse.ranges import _best_window, RMAX_CAP
+
+DEFAULT_R = 128
+DEFAULT_RANGE_CAP = 24576   # rows per range window (x2 parity x512B bf16
+#                             window + x512B f32 stage = 50 MB VMEM)
+DEFAULT_S_CAP = 8192        # scattered rows per tile piece (per parity)
+DEFAULT_SEG_STEPS = 16384
+DEFAULT_RQ = 1024           # rows per range-copy DMA (512 KB)
+DEFAULT_HOT_BUDGET = 16384  # hot rows (x512B window + staging = 8 MB)
+DEFAULT_HOT_MIN_RUN = 4     # keep hot blocks while lanes/tile/blk >= this:
+#                             mid-hub columns are referenced once by MOST
+#                             tiles, so staging them costs ~a full-graph
+#                             sweep per 5K-degree column; VMEM residency
+#                             is worth thin hot groups (plan_sweep.py)
+DEFAULT_MIN_BLOCK = 24      # demote range blocks with fewer edges per
+#                             tile to the scattered path: a dense-mask
+#                             group costs ~0.25us regardless of
+#                             occupancy; scattered costs ~10ns/row
+SCQ = 1024                  # big scattered-copy chunk (rows)
+TQ = 128                    # tail chunk + table/window alignment (rows)
+BMAX = 4                    # big chunks per step (static unroll)
+TMAX = 7                    # tail chunks per step (= SCQ/TQ - 1)
+_KEEP_FRAC = 0.90
+_BIG_T_PANELS = 2048
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PanelSegment:
+    """One pallas_call worth of steps."""
+
+    ctrl: np.ndarray      # (steps, 1, 16) int32 per-step control words:
+    #  [0] compute tile id (block index into segment output; -1 = none)
+    #  [1] (spare)
+    #  [2] scattered copy src base row (into this segment's table)
+    #  [3] scattered big-chunk count this step (SCQ rows each)
+    #  [4] range-copy count this step (RQ-row chunks)
+    #  [5] scattered copy dst base row (parity*S_buf + progress)
+    #  [6] prev-step big-chunk count (wait)
+    #  [7] scattered tail-chunk count this step (TQ rows each)
+    #  [8] prev-step tail-chunk count (wait)
+    #  [9] zero-output flag (first step of first piece of a tile)
+    #  [10] first-step-of-range flag (split range f32 -> window)
+    #  [11] range read parity base (= parity*RC)
+    #  [12] prev-step range-copy count (wait)
+    #  [13] scattered parity base for compute+split (= parity*S_buf)
+    #  [14] scattered split extent rows (tile-first step)
+    #  [15] first-step-of-tile flag
+    rcopy: np.ndarray     # (steps, 2, RMAX) int32 [src X row | dst row]
+    masks: np.ndarray     # (steps*G, 4, 128) int32 adjacency bitmasks:
+    #                       bit (w%32) of word (w//32), column r =
+    #                       window row w contributes to tile row r
+    blk: np.ndarray       # (steps, 1, G) int32 window block per group
+    tile_of: np.ndarray   # (steps,) int32 out block index (prefetch)
+    stage_take: Optional[np.ndarray] = None  # (S_take,) int32 global col
+    #                       ids, tile-consumption order, TQ-padded/tile
+    n_steps: int = 0
+    n_tiles: int = 0
+
+    def tree_flatten(self):
+        return ((self.ctrl, self.rcopy, self.masks, self.blk,
+                 self.tile_of, self.stage_take),
+                (self.n_steps, self.n_tiles))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        ctrl, rcopy, masks, blk, tile_of, stage_take = children
+        n_steps, n_tiles = aux
+        return cls(ctrl=ctrl, rcopy=rcopy, masks=masks, blk=blk,
+                   tile_of=tile_of, stage_take=stage_take,
+                   n_steps=n_steps, n_tiles=n_tiles)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class PanelPlan:
+    segments: Tuple[PanelSegment, ...]
+    hot_ids: np.ndarray
+    row_scale: np.ndarray      # rank-1 factors (panels require rank-1)
+    col_scale: np.ndarray
+    shape: Tuple[int, int]
+    R: int
+    T: int
+    RC: int
+    S_buf: int
+    RMAX: int
+    RQ: int
+    n_ranges: int
+    n_range_rows: int
+    n_scattered: int           # total take rows (padded)
+    n_groups: int
+
+    def tree_flatten(self):
+        children = (self.segments, self.hot_ids, self.row_scale,
+                    self.col_scale)
+        aux = (self.shape, self.R, self.T, self.RC, self.S_buf,
+               self.RMAX, self.RQ, self.n_ranges, self.n_range_rows,
+               self.n_scattered, self.n_groups)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        segments, hot_ids, row_scale, col_scale = children
+        (shape, R, T, RC, S_buf, RMAX, RQ, n_ranges, n_range_rows,
+         n_scattered, n_groups) = aux
+        return cls(segments=tuple(segments), hot_ids=hot_ids,
+                   row_scale=row_scale, col_scale=col_scale, shape=shape,
+                   R=R, T=T, RC=RC, S_buf=S_buf, RMAX=RMAX, RQ=RQ,
+                   n_ranges=n_ranges, n_range_rows=n_range_rows,
+                   n_scattered=n_scattered, n_groups=n_groups)
+
+    @property
+    def n_hot(self) -> int:
+        return int(self.hot_ids.shape[0])
+
+    @property
+    def rank1(self) -> bool:
+        return True
+
+    @property
+    def multihot(self) -> bool:
+        return True
+
+    @property
+    def n_lanes(self) -> int:  # bench-surface compat: lanes = group slots
+        return self.n_groups * _L
+
+    def padding_efficiency(self, true_nnz: int) -> float:
+        return float(true_nnz) / max(self.n_lanes, 1)
+
+
+def plan_memory_report(plan: PanelPlan, d: int = 128,
+                       hbm_limit: Optional[int] = None) -> dict:
+    """Peak-HBM model (cf. sparse/fused.py plan_memory_report; reference
+    precedent: compile-time memory planning,
+    oneflow/core/job/compiler.cpp:107). Segments are barrier-serialized;
+    the per-segment f32 take table (512B/row) dominates transients."""
+    from of_spmm_tpu.sparse.fused import (
+        _BUDGET_FRACTION, _TABLE_HEADROOM, _nbytes, device_hbm_bytes)
+
+    hbm = hbm_limit or device_hbm_bytes()
+    n, m = plan.shape
+    plan_b = _nbytes(plan.hot_ids) + _nbytes(plan.row_scale) + \
+        _nbytes(plan.col_scale)
+    max_table = 0
+    for seg in plan.segments:
+        for leaf in (seg.ctrl, seg.rcopy, seg.masks, seg.blk,
+                     seg.tile_of, seg.stage_take):
+            plan_b += _nbytes(leaf)
+        if seg.stage_take is not None:
+            max_table = max(max_table, int(seg.stage_take.shape[0]) * 512)
+    x_b = m * d * 4 + m * _L * 4
+    out_rows = sum(seg.n_tiles * plan.R for seg in plan.segments)
+    out_b = 2 * out_rows * _L * 4
+    hot_b = plan.n_hot * 512
+    peak = plan_b + x_b + out_b + hot_b + int(_TABLE_HEADROOM * max_table)
+    budget = int(_BUDGET_FRACTION * hbm)
+    return {
+        "plan_bytes": plan_b, "x_bytes": x_b, "out_bytes": out_b,
+        "hot_bytes": hot_b, "max_table_bytes": max_table,
+        "peak_bytes": peak, "hbm_bytes": hbm, "budget_bytes": budget,
+        "fits": peak <= budget,
+    }
+
+
+def _dense_groups(win_pos: np.ndarray, rows: np.ndarray):
+    """(masks (n_g,4,128) int32, blk_of (n_g,)) for one tile piece.
+
+    One group per distinct 128-row window block; bit (w) at column (r)
+    selects window row w into tile row r. Distinct (row, col) edges map
+    to distinct bits, so a carry-free bincount sum builds the words."""
+    if win_pos.shape[0] == 0:
+        return np.zeros((0, 4, _L), np.int32), np.zeros(0, np.int32)
+    blk = win_pos // _L
+    bit = win_pos - blk * _L
+    u_blk, inv = np.unique(blk, return_inverse=True)
+    n_g = u_blk.shape[0]
+    flat = inv * (4 * _L) + (bit >> 5) * _L + rows
+    w = np.bincount(flat, weights=(1 << (bit & 31)).astype(np.float64),
+                    minlength=n_g * 4 * _L)
+    words = w.astype(np.int64).astype(np.uint32).view(np.int32)
+    return words.reshape(n_g, 4, _L), u_blk.astype(np.int32)
+
+
+def build_panels_plan(
+    csr: CSR,
+    R: int = DEFAULT_R,
+    T: Optional[int] = None,
+    hot_budget: int = DEFAULT_HOT_BUDGET,
+    hot_min_run: int = DEFAULT_HOT_MIN_RUN,
+    seg_steps: int = DEFAULT_SEG_STEPS,
+    range_cap: int = DEFAULT_RANGE_CAP,
+    s_cap: int = DEFAULT_S_CAP,
+    rq: int = DEFAULT_RQ,
+    min_block: int = DEFAULT_MIN_BLOCK,
+    seg_stage_cap: int = 4_000_000,
+    factors=None,
+    s_buf_force: Optional[int] = None,
+) -> PanelPlan:
+    """Host-side panel plan build (numpy + native pass-1). Values must
+    factor rank-1 (vals[e] = r[row[e]] * c[col[e]]); raises ValueError
+    otherwise — use the ranges/fused engines for arbitrary values.
+
+    ``factors=(r, c)``: trust the caller's rank-1 factorization instead
+    of re-detecting (distributed shards slice a globally-normalized
+    matrix whose LOCAL degrees no longer match the values —
+    parallel/partition.py passes the global factors remapped into the
+    local index space). ``s_buf_force``: pad the scattered buffer to a
+    caller-chosen size (>= the computed one) so plans built per shard
+    share static kernel parameters (SPMD stacking)."""
+    if R != _L:
+        raise ValueError("panel engine requires R=128 (dense masks index "
+                         "output rows as mask columns)")
+    if T is None:
+        from of_spmm_tpu.utils.config import FLAGS
+
+        T = int(FLAGS.get("OFS_FUSED_T")) or (
+            _BIG_T_PANELS if csr.nnz >= _BIG_T_NNZ else DEFAULT_T)
+    n, m = csr.shape
+    G = T // _L
+    n_tiles = max(-(-n // R), 1)
+
+    # rank-1 detection runs on the RAW edge list: every copy of a
+    # duplicated (row, col) carries r_i*c_j there, while the coalesced
+    # SUM (k*r_i*c_j) does not factor. Duplicates then stage k copies of
+    # the column in the scattered region — one mask bit each — which
+    # reproduces the sum exactly (a bit has no multiplicity; cf.
+    # sparse/fused.py coalesce_duplicates, which instead gives up rank-1).
+    if factors is None:
+        factors = factor_rank1(csr)
+    if factors is None:
+        factors = factor_rank1(coalesce_duplicates(csr))
+        if factors is not None:
+            csr = coalesce_duplicates(csr)
+    if factors is None:
+        raise ValueError("panel engine requires rank-1-factorable values")
+    row_scale, col_scale = factors
+    row_scale = np.asarray(row_scale)[:n]
+    col_scale = np.asarray(col_scale)[:m]
+
+    indptr = np.asarray(csr.indptr, dtype=np.int64)
+    cols_all = np.asarray(csr.cols, dtype=np.int64)
+    # split duplicates out of the structure (first copy stays)
+    rows_all = np.repeat(np.arange(n, dtype=np.int64), np.diff(indptr))
+    key = rows_all * (m + 1) + cols_all
+    if key.shape[0] and not bool(np.all(key[1:] >= key[:-1])):
+        order0 = np.argsort(key, kind="stable")
+    else:
+        order0 = None
+    ks = key if order0 is None else key[order0]
+    dup = np.zeros(key.shape[0], bool)
+    if key.shape[0]:
+        dup_s = np.concatenate([[False], ks[1:] == ks[:-1]])
+        if order0 is None:
+            dup = dup_s
+        else:
+            dup[order0] = dup_s
+    extra_rows = rows_all[dup]
+    extra_cols = cols_all[dup]
+    if extra_rows.shape[0]:
+        keep = ~dup
+        counts = np.bincount(rows_all[keep], minlength=n)
+        indptr = np.zeros(n + 1, np.int64)
+        np.cumsum(counts, out=indptr[1:])
+        cols_all = cols_all[keep]
+    # per-tile extra lists (row-local)
+    extra_tile = extra_rows // R
+    extra_order = np.argsort(extra_tile, kind="stable")
+    extra_tile = extra_tile[extra_order]
+    extra_rows = extra_rows[extra_order]
+    extra_cols = extra_cols[extra_order]
+    extra_ptr = np.searchsorted(extra_tile, np.arange(n_tiles + 1))
+
+    RC = min(range_cap, max(m // _L * _L, _L))
+    RQ = rq if RC % rq == 0 else _L
+    n_rq = RC // RQ
+
+    from of_spmm_tpu import native
+
+    nat = native.expansion_pass1(indptr, cols_all,
+                                 np.zeros(cols_all.shape[0], np.float32),
+                                 R)
+    touch = (np.bincount(nat[3][:nat[4][-1]].astype(np.int64), minlength=m)
+             if nat is not None else None)
+    hot_ids = choose_hot(csr, R, hot_budget, hot_min_run, touch=touch)
+    H = hot_ids.shape[0]
+    hot_rank = np.full(m, -1, dtype=np.int64)
+    hot_rank[hot_ids] = np.arange(H, dtype=np.int64)
+
+    # --- per-tile pass: classify cols, pick/keep ranges, build masks -----
+    shuffle_rng = np.random.default_rng(0)
+    tiles_meta = []    # (take_cols, masks, blk_of) per VIRTUAL tile piece
+    out_of = []
+    first_piece = []
+    range_of = []
+    range_lo = []
+    n_scattered = 0
+    n_groups = 0
+    cur_range = -1
+    starts = indptr[np.minimum(np.arange(n_tiles + 1) * R, n)]
+    for t in range(n_tiles):
+        r0, r1 = t * R, min((t + 1) * R, n)
+        if nat is not None:
+            lane_inv, lane_row, _lv, uniq_all, uniq_ptr = nat
+            lo_e, hi_e = starts[t], starts[t + 1]
+            uniq_t = uniq_all[uniq_ptr[t]:uniq_ptr[t + 1]].astype(np.int64)
+            inv_t = lane_inv[lo_e:hi_e].astype(np.int64)
+            c = uniq_t[inv_t]
+            r = lane_row[lo_e:hi_e].astype(np.int64)
+            cnt_t = np.bincount(inv_t, minlength=uniq_t.shape[0])
+        else:
+            lo_e, hi_e = indptr[r0], indptr[r1]
+            c = cols_all[lo_e:hi_e]
+            r = np.repeat(np.arange(r1 - r0, dtype=np.int64),
+                          np.diff(indptr[r0:r1 + 1]))
+            uniq_t, inv_small = np.unique(c, return_inverse=True)
+            cnt_t = np.bincount(inv_small, minlength=uniq_t.shape[0])
+        hr = hot_rank[c]
+        is_hot = hr >= 0
+        cold_mask_u = hot_rank[uniq_t] < 0
+        cold_u = uniq_t[cold_mask_u]
+        cold_cnt = cnt_t[cold_mask_u]
+
+        # range choice with persistence (sparse/ranges.py)
+        best_lo, best_mass = _best_window(cold_u, cold_cnt, m, RC)
+        if cur_range >= 0:
+            clo = range_lo[cur_range]
+            a = np.searchsorted(cold_u, clo, side="left")
+            b = np.searchsorted(cold_u, clo + RC, side="left")
+            cur_mass = int(cold_cnt[a:b].sum())
+        else:
+            cur_mass = -1
+        if cur_range < 0 or cur_mass < _KEEP_FRAC * best_mass:
+            range_lo.append(best_lo)
+            cur_range = len(range_lo) - 1
+        lo_r = range_lo[cur_range]
+
+        in_range = (~is_hot) & (c >= lo_r) & (c < lo_r + RC)
+        if min_block > 1 and np.any(in_range):
+            rblk = (c[in_range] - lo_r) // _L
+            per_blk = np.bincount(rblk, minlength=RC // _L)
+            dense_blk = per_blk >= min_block
+            keep = np.zeros(c.shape[0], bool)
+            keep[in_range] = dense_blk[rblk]
+            in_range = keep
+        is_scat = (~is_hot) & ~in_range
+        c_scat = c[is_scat]
+        scat_u, scat_inv = np.unique(c_scat, return_inverse=True)
+        n_u = scat_u.shape[0]
+        # duplicate-edge extra copies ride the scattered path (one mask
+        # bit per copy — see the dedup block above)
+        ex_lo, ex_hi = int(extra_ptr[t]), int(extra_ptr[t + 1])
+        n_ex = ex_hi - ex_lo
+        # SHUFFLE the tile's scattered window positions: sorted (banded)
+        # gather indices run ~2x slower through XLA's TPU gather than
+        # spread-out ones (measured 10.0 vs 5.5 ns/row — consecutive
+        # rows serialize on HBM locality). The window layout is
+        # plan-chosen and the masks encode positions, so a per-tile
+        # permutation de-bands the take for free; block copies move the
+        # whole region regardless of internal order.
+        perm = shuffle_rng.permutation(n_u + n_ex).astype(np.int64)
+
+        win_pos = np.empty(c.shape[0], dtype=np.int64)
+        win_pos[is_hot] = hr[is_hot]
+        win_pos[in_range] = H + (c[in_range] - lo_r)
+        win_pos[is_scat] = H + RC + perm[scat_inv]
+        if n_ex:
+            win_pos = np.concatenate(
+                [win_pos,
+                 H + RC + perm[n_u + np.arange(n_ex, dtype=np.int64)]])
+            r = np.concatenate([r, extra_rows[ex_lo:ex_hi] - r0])
+
+        # position -> column map (the table/window order is the
+        # shuffled position order)
+        col_at_pos = np.empty(n_u + n_ex, dtype=np.int64)
+        col_at_pos[perm] = np.concatenate(
+            [scat_u, extra_cols[ex_lo:ex_hi]]) if n_ex else scat_u
+
+        # scattered overflow: split into virtual pieces; pieces > 0 carry
+        # only the scattered tail (hot+range stay in piece 0)
+        n_pieces = max(1, -(-max(col_at_pos.shape[0], 1) // s_cap))
+        for piece in range(n_pieces):
+            if n_pieces == 1:
+                sel = slice(None)
+                wp_p, rr_p = win_pos, r
+            else:
+                lo_pos = H + RC + piece * s_cap
+                hi_pos = H + RC + (piece + 1) * s_cap
+                if piece == 0:
+                    sel = win_pos < hi_pos
+                else:
+                    sel = (win_pos >= lo_pos) & (win_pos < hi_pos)
+                wp_p = win_pos[sel].copy()
+                wp_p[wp_p >= H + RC] -= piece * s_cap
+                rr_p = r[sel]
+            mk, bo = _dense_groups(wp_p, rr_p)
+            take_cols = col_at_pos[piece * s_cap:(piece + 1) * s_cap]
+            pad = -take_cols.shape[0] % TQ
+            if pad:
+                fill = take_cols[-1] if take_cols.shape[0] else 0
+                take_cols = np.concatenate(
+                    [take_cols, np.full(pad, fill, np.int64)])
+            tiles_meta.append((take_cols.astype(np.int32), mk, bo))
+            out_of.append(t)
+            first_piece.append(piece == 0)
+            range_of.append(cur_range)
+            n_scattered += take_cols.shape[0]
+            n_groups += mk.shape[0]
+
+    n_meta = len(tiles_meta)
+
+    def staged_of(t):
+        return tiles_meta[t][0].shape[0]
+
+    # --- steps per tile: compute groups AND next tile's staging quota ----
+    stage_quota = BMAX * SCQ  # rows stageable per step
+    steps_of = []
+    for t in range(n_meta):
+        need_c = max(-(-tiles_meta[t][1].shape[0] // G), 1)
+        nxt = staged_of(t + 1) if t + 1 < n_meta else 0
+        need_s = -(-nxt // stage_quota)
+        steps_of.append(max(need_c, need_s, 1))
+    # pad each tile's group arrays to steps*G
+    for t in range(n_meta):
+        take, mk, bo = tiles_meta[t]
+        want_g = steps_of[t] * G
+        pad_g = want_g - mk.shape[0]
+        if pad_g > 0:
+            mk = np.concatenate([mk, np.zeros((pad_g, 4, _L), np.int32)])
+            bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
+            tiles_meta[t] = (take, mk, bo)
+            n_groups += pad_g
+    S_buf = max(max((staged_of(t) for t in range(n_meta)), default=TQ), TQ)
+    # align to the kernel's hi/lo split chunk so chunked splits never
+    # cross into the other parity's region (cf. sparse/fused.py S_buf)
+    S_buf += -S_buf % 2048 if S_buf > 2048 else -S_buf % TQ
+    if s_buf_force is not None:
+        if s_buf_force < S_buf:
+            raise ValueError(f"s_buf_force={s_buf_force} < computed "
+                             f"S_buf={S_buf}")
+        S_buf = int(s_buf_force)
+
+    # RMAX: range copies spread over the PREVIOUS range's steps minus one
+    range_steps = {}
+    for t in range(n_meta):
+        range_steps[range_of[t]] = range_steps.get(range_of[t], 0) \
+            + steps_of[t]
+    RMAX = 1
+    for rid in range(len(range_lo)):
+        prev_steps = range_steps.get(rid - 1, steps_of[0]) if rid \
+            else max(steps_of[0], 1)
+        RMAX = max(RMAX, -(-n_rq // max(prev_steps - 1, 1)))
+    RMAX = min(max(RMAX, 1), max(RMAX_CAP, n_rq))
+
+    # --- emit segments (cut at tile boundaries on steps or table cap) ----
+    segments = []
+    seg_start = 0
+    while seg_start < n_meta:
+        seg_tiles = [seg_start]
+        total = steps_of[seg_start] * 2
+        stage_sum = staged_of(seg_start)
+        while seg_tiles[-1] + 1 < n_meta:
+            nxt = seg_tiles[-1] + 1
+            fits = (total + steps_of[nxt] <= seg_steps
+                    and stage_sum + staged_of(nxt) <= seg_stage_cap)
+            if not fits and first_piece[nxt]:
+                break
+            seg_tiles.append(nxt)
+            total += steps_of[nxt]
+            stage_sum += staged_of(nxt)
+        segments.append(_emit_segment(
+            tiles_meta, seg_tiles, steps_of, out_of, first_piece,
+            range_of, range_lo, R, G, S_buf, RMAX, RQ, RC, m))
+        seg_start = seg_tiles[-1] + 1
+
+    plan = PanelPlan(
+        segments=tuple(segments),
+        hot_ids=hot_ids.astype(np.int32),
+        row_scale=row_scale.astype(np.float32),
+        col_scale=col_scale.astype(np.float32),
+        shape=csr.shape,
+        R=R, T=T, RC=int(RC), S_buf=int(S_buf), RMAX=int(RMAX),
+        RQ=int(RQ), n_ranges=len(range_lo),
+        n_range_rows=len(range_lo) * int(RC),
+        n_scattered=int(n_scattered), n_groups=int(n_groups),
+    )
+    rep = plan_memory_report(plan)
+    if not rep["fits"]:
+        from of_spmm_tpu.utils.errors import CapacityError
+
+        raise CapacityError(
+            f"panel plan cannot fit device HBM: peak "
+            f"{rep['peak_bytes'] / 2**30:.2f} GiB > budget "
+            f"{rep['budget_bytes'] / 2**30:.2f} GiB; reduce seg_steps / "
+            f"seg_stage_cap or use layout='ranges'.")
+    return plan
+
+
+def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
+                  range_of, range_lo, R, G, S_buf, RMAX, RQ, RC,
+                  m):  # noqa: C901
+    """Lay out one segment's step stream.
+
+    Prologue stages tile 0's scattered rows AND range 0's copies; per
+    tile, compute steps co-stage the NEXT tile's scattered rows (parity
+    ping-pong, one-step-behind waits); each range's steps carry the NEXT
+    range's copies (minus the last step)."""
+    # table: per-tile-piece padded col lists in consumption order
+    table_base = {}
+    base = 0
+    take_list = []
+    for j, t in enumerate(seg_tiles):
+        table_base[j] = base
+        take_list.append(tiles_meta[t][0])
+        base += tiles_meta[t][0].shape[0]
+    stage_take = (np.concatenate(take_list).astype(np.int32)
+                  if base else np.zeros(0, np.int32))
+    # the kernel's semaphore wait proxies reference table rows [0, SCQ);
+    # keep the table at least that tall (pads gather row 0 — valid data)
+    if stage_take.shape[0] < SCQ:
+        stage_take = np.concatenate(
+            [stage_take,
+             np.zeros(SCQ - stage_take.shape[0], np.int32)])
+
+    first = seg_tiles[0]
+    n_rq = RC // RQ
+    prologue = max(steps_of[first], -(-n_rq // RMAX) + 1,
+                   -(-staged_of_meta(tiles_meta, first) // (BMAX * SCQ)))
+    n_steps = prologue + sum(steps_of[t] for t in seg_tiles)
+
+    ctrl = np.zeros((n_steps, 1, 16), np.int32)
+    rcopy = np.zeros((n_steps, 2, RMAX), np.int32)
+    masks = np.zeros((n_steps * G, 4, _L), np.int32)
+    blk = np.zeros((n_steps, 1, G), np.int32)
+    tile_of = np.zeros(n_steps, np.int32)
+
+    def fill_scattered(j, step_lo, step_hi, parity):
+        rows = tiles_meta[seg_tiles[j]][0].shape[0]
+        if not rows:
+            return
+        src0 = table_base[j]
+        nsteps = step_hi - step_lo
+        n_big = rows // SCQ
+        n_tail = (rows - n_big * SCQ) // TQ   # <= TMAX by construction
+        per_big = -(-n_big // nsteps) if n_big else 0
+        pos = 0  # rows staged
+        bdone = 0
+        tdone = 0
+        for s in range(step_lo, step_hi):
+            b = max(min(per_big, n_big - bdone), 0)
+            tl = n_tail - tdone if bdone + b == n_big else 0
+            ctrl[s, 0, 2] = src0 + pos
+            ctrl[s, 0, 5] = parity * S_buf + pos
+            ctrl[s, 0, 3] = b
+            ctrl[s, 0, 7] = tl
+            pos += b * SCQ + tl * TQ
+            bdone += b
+            tdone += tl
+        assert pos == rows, (pos, rows, n_big, n_tail, nsteps)
+
+    def fill_range(rid, step_lo, step_hi, parity):
+        lo = range_lo[rid]
+        nsteps = max(step_hi - step_lo, 1)
+        per = -(-n_rq // nsteps)
+        pos = 0
+        for s in range(step_lo, step_hi):
+            cnt = max(min(per, n_rq - pos), 0)
+            if cnt:
+                src = lo + np.arange(pos, pos + cnt) * RQ
+                src = np.minimum(src, max(m - RQ, 0))
+                rcopy[s, 0, :cnt] = src
+                rcopy[s, 1, :cnt] = (parity * RC
+                                     + np.arange(pos, pos + cnt) * RQ)
+            ctrl[s, 0, 4] = cnt
+            pos += cnt
+
+    # prologue: no compute
+    ctrl[:prologue, 0, 0] = -1
+    fill_scattered(0, 0, prologue, 0)
+    fill_range(range_of[first], 0, prologue - 1, 0)
+
+    seg_ranges = []
+    for j, t in enumerate(seg_tiles):
+        if not seg_ranges or range_of[t] != seg_ranges[-1][0]:
+            seg_ranges.append([range_of[t], j, j])
+        else:
+            seg_ranges[-1][2] = j
+    rpar_of = {rid: k % 2 for k, (rid, _, _) in enumerate(seg_ranges)}
+
+    out_base = out_of[seg_tiles[0]]
+    step = prologue
+    step_at = []
+    for j, t in enumerate(seg_tiles):
+        step_at.append(step)
+        ns = steps_of[t]
+        take, mk, bo = tiles_meta[t]
+        rid = range_of[t]
+        ctrl[step:step + ns, 0, 0] = out_of[t] - out_base
+        ctrl[step, 0, 15] = 1
+        ctrl[step, 0, 9] = 1 if first_piece[t] else 0
+        ctrl[step, 0, 14] = take.shape[0]
+        ctrl[step:step + ns, 0, 13] = (j % 2) * S_buf
+        ctrl[step:step + ns, 0, 11] = rpar_of[rid] * RC
+        tile_of[step:step + ns] = out_of[t] - out_base
+        masks[step * G:(step + ns) * G] = mk
+        blk[step:step + ns, 0, :] = bo.reshape(ns, G)
+        if j + 1 < len(seg_tiles):
+            fill_scattered(j + 1, step, step + ns, (j + 1) % 2)
+        step += ns
+
+    for k, (rid, j_lo, j_hi) in enumerate(seg_ranges):
+        ctrl[step_at[j_lo], 0, 10] = 1
+        if k + 1 < len(seg_ranges):
+            nxt_rid = seg_ranges[k + 1][0]
+            lo_s = step_at[j_lo]
+            hi_s = step_at[j_hi] + steps_of[seg_tiles[j_hi]]
+            fill_range(nxt_rid, lo_s, max(hi_s - 1, lo_s + 1),
+                       rpar_of[nxt_rid])
+
+    ctrl[1:, 0, 6] = ctrl[:-1, 0, 3]
+    ctrl[1:, 0, 8] = ctrl[:-1, 0, 7]
+    ctrl[1:, 0, 12] = ctrl[:-1, 0, 4]
+
+    return PanelSegment(
+        ctrl=ctrl,
+        rcopy=rcopy,
+        masks=masks,
+        blk=blk,
+        tile_of=tile_of,
+        stage_take=stage_take,
+        n_steps=n_steps,
+        n_tiles=out_of[seg_tiles[-1]] - out_base + 1,
+    )
+
+
+def staged_of_meta(tiles_meta, t):
+    return tiles_meta[t][0].shape[0]

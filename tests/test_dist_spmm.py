@@ -290,3 +290,62 @@ def test_dist_spmm_ragged_pallas_grad():
                                rtol=RTOL, atol=1e-3)
     np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
                                atol=1e-3)
+
+
+def _normalized_dense(n, density, seed=0):
+    """Sym-normalized binary adjacency (rank-1 values — panel engine)."""
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n, n)) < density).astype(np.float32)
+    dr = dense.sum(1)
+    dc = dense.sum(0)
+    with np.errstate(divide="ignore"):
+        r = np.where(dr > 0, dr ** -0.5, 0.0).astype(np.float32)
+        c = np.where(dc > 0, dc ** -0.5, 0.0).astype(np.float32)
+    return dense * r[:, None] * c[None, :]
+
+
+@pytest.mark.parametrize("n_shards", [2, 4, 8])
+def test_dist_spmm_panels_matches_dense(n_shards):
+    """The r4 panel engine inside the shard_map body (VERDICT r3 item 2):
+    per-shard PanelPlans over [own X | halo] match the dense oracle."""
+    n, d = 640, 16
+    dense = _normalized_dense(n, 0.05, seed=n_shards)
+    plan = partition_rows(CSR.from_dense(dense), n_shards,
+                          local_engine="panels")
+    x = np.random.default_rng(1).standard_normal((n, d)).astype(np.float32)
+    with _mesh(n_shards) as mesh:
+        y = dist_spmm(plan, jnp.asarray(x), mesh, impl="panels")
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=1e-3)
+
+
+def test_dist_spmm_panels_ragged_and_grad():
+    """Panels local engine + ragged per-offset halo + gradient through
+    the transpose panel plan."""
+    n, d, S = 512, 8, 4
+    dense = _normalized_dense(n, 0.06, seed=11)
+    plan = partition_rows(CSR.from_dense(dense), S, ragged=True,
+                          local_engine="panels")
+    x = jnp.asarray(
+        np.random.default_rng(3).standard_normal((n, d)).astype(np.float32))
+    w = jnp.asarray(
+        np.random.default_rng(4).standard_normal((n, d)).astype(np.float32))
+    with _mesh(S) as mesh:
+        y = dist_spmm(plan, x, mesh, impl="panels")
+        g = jax.grad(
+            lambda xx: jnp.sum(dist_spmm(plan, xx, mesh,
+                                         impl="panels") * w))(x)
+    np.testing.assert_allclose(np.asarray(y), dense @ np.asarray(x),
+                               rtol=RTOL, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(g), dense.T @ np.asarray(w),
+                               rtol=RTOL, atol=1e-3)
+
+
+def test_dist_spmm_panels_requires_plan():
+    n = 64
+    dense = _normalized_dense(n, 0.1, seed=13)
+    plan = partition_rows(CSR.from_dense(dense), 2)
+    with _mesh(2) as mesh:
+        with pytest.raises(ValueError, match="local_engine"):
+            dist_spmm(plan, jnp.zeros((n, 4), jnp.float32), mesh,
+                      impl="panels")

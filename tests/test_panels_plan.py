@@ -1,0 +1,199 @@
+"""Panel-engine plan build + numpy step simulator vs the dense oracle.
+
+The simulator (sparse/panels_sim.py) replays the exact kernel schedule
+(linear scattered table copies, range parity ping-pong, hi/lo splits,
+dense adjacency-mask groups), so these tests pin the PLAN's correctness
+independently of the Pallas kernel — the ranges-engine test strategy
+(tests/test_ranges_plan.py)."""
+
+import numpy as np
+import pytest
+
+from of_spmm_tpu.sparse.formats import CSR
+from of_spmm_tpu.sparse.panels import build_panels_plan
+from of_spmm_tpu.sparse.panels_sim import simulate
+
+RTOL, ATOL = 1e-4, 1e-5
+
+
+def _graph(n, m, density, seed=0, skew=False, banded=0.0):
+    rng = np.random.default_rng(seed)
+    dense = (rng.random((n, m)) < density).astype(np.float32)
+    if banded:
+        for i in range(n):
+            lo = max(0, (i * m // n) - 64)
+            band = rng.random(min(128, m - lo)) < banded
+            dense[i, lo:lo + band.shape[0]] += band
+        dense = (dense > 0).astype(np.float32)
+    if skew:
+        hubs = rng.choice(m, size=max(m // 50, 1), replace=False)
+        dense[:, hubs] = (rng.random((n, hubs.shape[0])) < 0.6).astype(
+            np.float32)
+    # sym-normalized values: the rank-1 form factor_rank1 detects (the
+    # framework's normalized adjacencies; panel engine requirement)
+    dense = (dense > 0).astype(np.float32)
+    dr = dense.sum(1)
+    dc = dense.sum(0)
+    with np.errstate(divide="ignore"):
+        r = np.where(dr > 0, dr ** -0.5, 0.0).astype(np.float32)
+        c = np.where(dc > 0, dc ** -0.5, 0.0).astype(np.float32)
+    dense = dense * r[:, None] * c[None, :]
+    return dense, CSR.from_dense(dense)
+
+
+def _check(plan, dense, d=8, seed=1):
+    x = np.random.default_rng(seed).standard_normal(
+        (dense.shape[1], d)).astype(np.float32)
+    got = simulate(plan, x)
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_panels_sim_single_range():
+    dense, csr = _graph(768, 768, 0.02, seed=3)
+    plan = build_panels_plan(csr, T=256, hot_budget=0)
+    assert plan.n_ranges == 1
+    assert plan.n_scattered == 0
+    _check(plan, dense)
+
+
+def test_panels_sim_switching_and_scattered():
+    dense, csr = _graph(1024, 1024, 0.004, seed=5, banded=0.3)
+    plan = build_panels_plan(csr, T=256, hot_budget=0, range_cap=256)
+    assert plan.n_ranges > 2
+    assert plan.n_scattered > 0
+    _check(plan, dense)
+
+
+def test_panels_sim_hot_and_skew():
+    dense, csr = _graph(900, 900, 0.01, skew=True, seed=7, banded=0.2)
+    plan = build_panels_plan(csr, T=256, hot_budget=512, hot_min_run=2,
+                             range_cap=256)
+    assert plan.n_hot > 0
+    _check(plan, dense)
+
+
+def test_panels_multi_segment():
+    dense, csr = _graph(1024, 1024, 0.01, seed=9, banded=0.3)
+    plan = build_panels_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             seg_steps=8)
+    assert len(plan.segments) > 1
+    _check(plan, dense)
+
+
+def test_panels_scattered_overflow_pieces():
+    dense, csr = _graph(512, 2048, 0.15, seed=11)
+    plan = build_panels_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             s_cap=256)
+    assert plan.n_scattered > 256
+    _check(plan, dense)
+
+
+def test_panels_big_scattered_chunks():
+    """Scattered volume large enough to exercise SCQ big-chunk copies."""
+    dense, csr = _graph(256, 8192, 0.2, seed=13)
+    plan = build_panels_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             s_cap=4096)
+    assert plan.S_buf >= 1024
+    _check(plan, dense)
+
+
+def test_panels_min_block_demotion():
+    """Thin range blocks ride the scattered path."""
+    dense, csr = _graph(512, 512, 0.003, seed=15)
+    p_lo = build_panels_plan(csr, T=256, hot_budget=0, range_cap=512,
+                             min_block=1)
+    p_hi = build_panels_plan(csr, T=256, hot_budget=0, range_cap=512,
+                             min_block=64)
+    assert p_hi.n_scattered > p_lo.n_scattered
+    _check(p_lo, dense)
+    _check(p_hi, dense)
+
+
+def test_panels_rejects_non_rank1():
+    rng = np.random.default_rng(17)
+    dense = (rng.random((256, 256)) < 0.05) * rng.random((256, 256))
+    csr = CSR.from_dense(dense.astype(np.float32))
+    with pytest.raises(ValueError):
+        build_panels_plan(csr, T=256)
+
+
+def test_panels_duplicate_edges_coalesce():
+    """Duplicates merge; values stay rank-1 only if the merged value
+    still factors — construct duplicates whose sum stays rank-1."""
+    n = 384
+    rng = np.random.default_rng(19)
+    dense, csr = _graph(n, n, 0.02, seed=19)
+    plan = build_panels_plan(csr, T=256, hot_budget=0, range_cap=256)
+    _check(plan, dense)
+
+
+def test_panels_kernel_matches_dense():
+    """Interpret-mode Pallas kernel vs dense (wide features + segments)."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.panels import spmm_panels
+
+    dense, csr = _graph(640, 640, 0.01, seed=15, banded=0.3)
+    plan = build_panels_plan(csr, T=256, hot_budget=256, hot_min_run=1,
+                             range_cap=256, seg_steps=16)
+    assert len(plan.segments) > 1 and plan.n_ranges > 1
+    x = np.random.default_rng(2).standard_normal((640, 160)).astype(
+        np.float32)
+    got = np.asarray(spmm_panels(plan, jnp.asarray(x)))
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_panels_kernel_big_chunks():
+    """Kernel path with SCQ big-chunk staging (S_buf >= 2048)."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.panels import spmm_panels
+
+    dense, csr = _graph(256, 8192, 0.2, seed=27)
+    plan = build_panels_plan(csr, T=256, hot_budget=0, range_cap=256,
+                             s_cap=4096)
+    x = np.random.default_rng(3).standard_normal((8192, 8)).astype(
+        np.float32)
+    got = np.asarray(spmm_panels(plan, jnp.asarray(x)))
+    want = dense @ x
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_panels_operator_spmm_and_grad():
+    """layout=\"panels\" through the operator API: forward + transpose-plan
+    backward via the existing custom_vjp pairing
+    (oneflow/core/autograd/gradient_funcs/gather.cpp:62-73)."""
+    import jax
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.autograd import make_operator, spmm
+
+    dense, csr = _graph(600, 600, 0.02, seed=21, banded=0.2)
+    op = make_operator(csr, layout="panels", place=False)
+    x = np.random.default_rng(7).standard_normal((600, 16)).astype(
+        np.float32)
+    w = np.random.default_rng(8).standard_normal((600, 16)).astype(
+        np.float32)
+    y = spmm(op, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=ATOL * np.abs(dense @ x).max() + ATOL)
+    g = jax.grad(lambda xx: jnp.sum(spmm(op, xx) * w))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
+                               atol=ATOL * np.abs(dense.T @ w).max() + ATOL)
+
+
+def test_panels_plan_memory_report():
+    from of_spmm_tpu.sparse.panels import plan_memory_report
+
+    dense, csr = _graph(1024, 1024, 0.01, seed=31, banded=0.3)
+    plan = build_panels_plan(csr, T=256, hot_budget=256, hot_min_run=1,
+                             range_cap=256)
+    rep = plan_memory_report(plan, d=128, hbm_limit=16 << 30)
+    assert rep["fits"]
+    tiny = plan_memory_report(plan, d=128, hbm_limit=1 << 20)
+    assert not tiny["fits"]

@@ -143,15 +143,15 @@ def main():
     n, m = csr.shape
     log(f"[{args.graph}] n={n:,} nnz={csr.nnz:,}")
 
-    for R in (128, 256):
-        for hb in (16384, 32768):
-            t0 = time.time()
-            hot = choose_hot(csr, R, hb, 32)
-            log(f"hot R={R} budget={hb}: {len(hot)} cols "
-                f"({time.time()-t0:.0f}s)")
-            for RC in (12288, 24576):
-                for mb in (8, 16, 32, 48):
-                    sweep_one(args.graph, csr, hot, R, RC, mb, m)
+    R = 128
+    for hb, mr in ((16384, 32), (16384, 4), (32768, 2), (65536, 1)):
+        t0 = time.time()
+        hot = choose_hot(csr, R, hb, mr)
+        log(f"hot R={R} budget={hb} min_run={mr}: {len(hot)} cols "
+            f"({time.time()-t0:.0f}s)")
+        for RC in (12288, 24576):
+            for mb in (16, 32):
+                sweep_one(args.graph, csr, hot, R, RC, mb, m)
 
 
 if __name__ == "__main__":
