@@ -23,7 +23,7 @@ def log(*a):
 
 
 def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas"),
-                tier_size=None, layout="auto"):
+                tier_size=None, layout="auto", shuffled=False):
     """Time Y = A @ X per impl with delta timing: k1 vs k2 chained SpMMs
     inside one jitted computation (y <- A_hat y on the normalized adjacency,
     so values stay bounded); the difference cancels the fixed per-call
@@ -45,13 +45,38 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     def build():
         csr, cfg = load_graph(name, symmetrize=True)
         csr = normalized_adjacency(csr)  # bounded spectrum -> safe to chain
+        reorder_s = 0.0
+        if shuffled:
+            # EARN the locality (VERDICT r3 item 3): destroy the
+            # generator's community-contiguous ids with a random
+            # permutation, then recover them with the committed
+            # multilevel matching pass — the headline is no longer
+            # conditional on pre-clustered input.
+            import numpy as _np
+
+            from of_spmm_tpu.sparse.formats import COO as _COO, CSR as _CSR
+            from of_spmm_tpu.sparse.reorder import reorder_locality
+
+            n = csr.shape[0]
+            perm = _np.random.default_rng(123).permutation(n)
+            rows = _np.repeat(
+                _np.arange(n),
+                _np.diff(_np.asarray(csr.indptr, _np.int64)))
+            csr = _CSR.from_coo(_COO.from_arrays(
+                perm[rows].astype(_np.int32),
+                perm[_np.asarray(csr.cols, _np.int64)].astype(_np.int32),
+                _np.asarray(csr.vals), csr.shape))
+            t_r = time.time()
+            csr, _ofn, _nfo = reorder_locality(csr, "match")
+            reorder_s = time.time() - t_r
         return (
             make_operator(csr, place=False, tier_size=tier_size,
                           keep_coo=False, layout=layout),
-            csr.nnz, csr.shape,
+            csr.nnz, csr.shape, reorder_s,
         )
 
     ts_key = f"|ts{tier_size}" if tier_size else ""
+    ts_key += "|shufmatch-v1" if shuffled else ""
     if layout == "expansion":
         from of_spmm_tpu.sparse.expansion import (
             DEFAULT_CW, DEFAULT_R, DEFAULT_TILE)
@@ -68,7 +93,7 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         nnz_est = NAMED_CONFIGS[name].n_edges
         FT = int(FLAGS.get("OFS_FUSED_T")) or (
             _BIG_T_PANELS if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
-        ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v1")
+        ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v2")
     elif layout in ("fused", "ranges"):
         from of_spmm_tpu.sparse.fused import (
             _BIG_T, _BIG_T_NNZ, DEFAULT_HOT_BUDGET, DEFAULT_R as FR,
@@ -95,10 +120,15 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
                       f"-chunks-ss{DEFAULT_SEG_STEPS}-v12")
     else:
         ly_key = f"|ly-{layout}" if layout != "auto" else ""
-    op, nnz, shape = cached(
+    cv = cached(
         "op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}{ly_key}", build)
+    op, nnz, shape = cv[:3]
+    reorder_s = cv[3] if len(cv) > 3 else 0.0
     plan_build_s = time.time() - t0
-    log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} ({plan_build_s:.1f}s)")
+    log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} "
+        f"({plan_build_s:.1f}s"
+        + (f"; shuffled, match reorder {reorder_s:.1f}s" if shuffled
+           else "") + ")")
     t0 = time.time()
     op = place_operator(op)
     eff = op.binned.padding_efficiency(nnz)
@@ -179,6 +209,8 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     results = {}
     results["_meta"] = {"plan_build_s": round(plan_build_s, 2),
                         "layout": layout_s, "failures": {}}
+    if shuffled:
+        results["_meta"]["reorder_s"] = round(reorder_s, 2)
 
     for impl_name in impls:
         try:
@@ -410,6 +442,11 @@ def main():
     ap.add_argument("--reddit", default="reddit-small",
                     help="reddit config for the load-balance row "
                          "(reddit = full 114M nnz)")
+    ap.add_argument("--shuffled", action="store_true",
+                    help="randomly permute node ids, then recover "
+                         "locality with the matching reorder pass "
+                         "(sparse/reorder.py) — the headline without "
+                         "pre-clustered input")
     args = ap.parse_args()
     impls = tuple(args.impls.split(","))
 
@@ -441,22 +478,22 @@ def main():
         # JSON.
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=("xla",), tier_size=args.tier_size,
-                              layout="auto")
+                              layout="auto", shuffled=args.shuffled)
         meta["auto"] = results.pop("_meta", {})
         pan = bench_graph(args.graph, d=args.d, iters=args.iters,
                           impls=("pallas",), tier_size=args.tier_size,
-                          layout="panels")
+                          layout="panels", shuffled=args.shuffled)
         meta["panels"] = pan.pop("_meta", {})
         results.update({"pallas-panels": v for v in pan.values()})
         rng_r = bench_graph(args.graph, d=args.d, iters=args.iters,
                             impls=("pallas",), tier_size=args.tier_size,
-                            layout="ranges")
+                            layout="ranges", shuffled=args.shuffled)
         meta["ranges"] = rng_r.pop("_meta", {})
         results.update({"pallas-ranges": v for v in rng_r.values()})
     else:
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=impls, tier_size=args.tier_size,
-                              layout=args.layout)
+                              layout=args.layout, shuffled=args.shuffled)
         meta[args.layout] = results.pop("_meta", {})
     failures = {f"{ly}:{impl}": msg
                 for ly, mm in meta.items()
@@ -475,7 +512,8 @@ def main():
     # vs_baseline: ratio against the BASELINE.md target of 60% of the
     # per-chip HBM roofline (>=1.0 means target met).
     out = {
-        "metric": f"spmm_roofline_fraction_{args.graph}_d{args.d}",
+        "metric": f"spmm_roofline_fraction_{args.graph}_d{args.d}"
+                  + ("_shuffled" if args.shuffled else ""),
         "value": round(best["roofline_fraction"], 4),
         "unit": "fraction_of_hbm_roofline",
         "vs_baseline": round(best["roofline_fraction"] / 0.60, 4),
@@ -485,6 +523,9 @@ def main():
         "synthetic_graphs": True,  # degree-law-matched stand-ins (no
         # network egress in this environment; see data/graphs.py)
     }
+    if args.shuffled:
+        out["reorder_s"] = {ly: mm.get("reorder_s")
+                            for ly, mm in meta.items()}
     if failures:
         out["failures"] = failures  # loud fallback (VERDICT r2 item 1)
     if extras is not None:

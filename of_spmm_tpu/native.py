@@ -96,6 +96,9 @@ def _lib() -> Optional[ctypes.CDLL]:
         lib.expansion_pass1.argtypes = [i64, i64, i64p, i32p, f32p, i64,
                                         i32p, i32p, f32p, i32p, i64p]
         lib.expansion_pass1.restype = ctypes.c_int
+        lib.hem_order.argtypes = [i64, i64p, i32p, ctypes.c_void_p, i64,
+                                  i64p]
+        lib.hem_order.restype = ctypes.c_int
         _LIB = lib
         return _LIB
 
@@ -249,3 +252,25 @@ def expansion_pass1(indptr: np.ndarray, cols: np.ndarray, vals: np.ndarray,
     if rc != 0:
         return None
     return lane_inv, lane_row, lane_val, uniq_cols, uniq_ptr
+
+
+def hem_order(indptr: np.ndarray, cols: np.ndarray,
+              vals: Optional[np.ndarray], coarse_n: int
+              ) -> Optional[np.ndarray]:
+    """Multilevel heavy-edge-matching permutation (sparse/reorder.py
+    matching_order, native path). Returns old_from_new (n,) int64 or
+    None when the native library is unavailable."""
+    lib = _lib()
+    if lib is None:
+        return None
+    indptr = np.ascontiguousarray(indptr, dtype=np.int64)
+    cols = np.ascontiguousarray(cols, dtype=np.int32)
+    n = indptr.shape[0] - 1
+    out = np.empty(n, dtype=np.int64)
+    vp = (None if vals is None
+          else np.ascontiguousarray(vals, dtype=np.float32)
+          .ctypes.data_as(ctypes.c_void_p))
+    rc = lib.hem_order(n, indptr, cols, vp, int(coarse_n), out)
+    if rc != 0:
+        return None
+    return out

@@ -341,7 +341,20 @@ def place_operator(op: SpmmOperator, device=None) -> SpmmOperator:
     PRESERVING leaf sharing: symmetric plans alias binned_t's arrays to
     binned's (directly or through a pickle round-trip), and a naive
     tree-wide device_put would materialize two HBM copies. Leaves are
-    dedup'd by object identity before transfer."""
+    dedup'd by object identity before transfer.
+
+    Panel plans ship compact per-edge masks and expand them ON DEVICE
+    here (one scatter-add jit): ~13x less transfer than the dense
+    bitmasks — the r3 placement took 367 s on the tunneled chip."""
+    from of_spmm_tpu.sparse.panels import PanelPlan, ensure_masks
+
+    if hasattr(op, "binned") and isinstance(op.binned, PanelPlan):
+        on_dev = jax.devices()[0].platform != "cpu" if device is None \
+            else getattr(device, "platform", "cpu") != "cpu"
+        b = ensure_masks(op.binned, device=on_dev)
+        bt = b if op.binned_t is op.binned else ensure_masks(
+            op.binned_t, device=on_dev)
+        op = dataclasses.replace(op, binned=b, binned_t=bt)
     leaves, treedef = jax.tree_util.tree_flatten(op)
     memo = {}
     placed = []

@@ -316,6 +316,12 @@ def spmm_panels(plan: PanelPlan, x: jnp.ndarray,
 
     if interpret is None:
         interpret = pallas_interpret_default()
+    if any(seg.masks is None for seg in plan.segments):
+        # unplaced plan (tests / one-shot use): expand compact masks
+        # host-side; placed plans arrive pre-expanded (place_operator)
+        from of_spmm_tpu.sparse.panels import ensure_masks
+
+        plan = ensure_masks(plan)
     xp, d = _pad_features(x.astype(jnp.float32))
     slabs = []
     for s0 in range(0, xp.shape[1], _L):

@@ -197,6 +197,9 @@ def _stack_panel_plans(plans):
     """Pad per-shard PanelPlans to common shapes and stack their leaves
     (leading dim = n_shards) for shard_map. All plans must share S_buf
     (built with s_buf_force), T, RC, RQ, tiles, and have one segment."""
+    from of_spmm_tpu.sparse.panels import ensure_masks
+
+    plans = [ensure_masks(p) for p in plans]  # stack dense masks
     S = len(plans)
     G = plans[0].T // 128
     assert all(len(p.segments) == 1 for p in plans)

@@ -484,7 +484,12 @@ def choose_hot(csr: CSR, R: int, hot_budget: int, min_run: int,
         if blk_refs / n_tiles < min_run:
             break
         keep = b + 1
-    return cand[: keep * _L]
+    # SORT the kept set by node id: on cluster-contiguous orderings,
+    # hubs of the same community then share a hot 128-block, so a tile
+    # referencing them touches ONE (tile, hot-block) group instead of
+    # one per rank-ordered block (rank order interleaves communities —
+    # measured 0.74M thin hot groups on ogbn-products at 16K hot cols)
+    return np.sort(cand[: keep * _L])
 
 
 def coalesce_duplicates(csr: CSR) -> CSR:

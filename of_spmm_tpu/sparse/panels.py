@@ -52,11 +52,12 @@ DEFAULT_S_CAP = 8192        # scattered rows per tile piece (per parity)
 DEFAULT_SEG_STEPS = 16384
 DEFAULT_RQ = 1024           # rows per range-copy DMA (512 KB)
 DEFAULT_HOT_BUDGET = 16384  # hot rows (x512B window + staging = 8 MB)
-DEFAULT_HOT_MIN_RUN = 4     # keep hot blocks while lanes/tile/blk >= this:
-#                             mid-hub columns are referenced once by MOST
-#                             tiles, so staging them costs ~a full-graph
-#                             sweep per 5K-degree column; VMEM residency
-#                             is worth thin hot groups (plan_sweep.py)
+DEFAULT_HOT_MIN_RUN = 4     # keep hot blocks while lanes/tile/blk >= this.
+#                             Measured on full ogbn-products (PROFILE_r04
+#                             config matrix): hot=16384 cols beats 4096
+#                             by ~7% despite ~0.4M extra thin groups —
+#                             mid-hub columns cost a take row per
+#                             referencing tile otherwise
 DEFAULT_MIN_BLOCK = 24      # demote range blocks with fewer edges per
 #                             tile to the scattered path: a dense-mask
 #                             group costs ~0.25us regardless of
@@ -66,7 +67,11 @@ TQ = 128                    # tail chunk + table/window alignment (rows)
 BMAX = 4                    # big chunks per step (static unroll)
 TMAX = 7                    # tail chunks per step (= SCQ/TQ - 1)
 _KEEP_FRAC = 0.90
-_BIG_T_PANELS = 2048
+_BIG_T_PANELS = 4096  # per-step grid overhead is ~0.55 us (measured);
+#                       the dense-mask group loop is unrolled-compile-
+#                       safe at G=32 (no dependent chains), so big
+#                       graphs halve their step count vs G=16
+#                       (products-small 25.3 -> 24.5 ms)
 
 
 @jax.tree_util.register_pytree_node_class
@@ -92,11 +97,19 @@ class PanelSegment:
     #  [14] scattered split extent rows (tile-first step)
     #  [15] first-step-of-tile flag
     rcopy: np.ndarray     # (steps, 2, RMAX) int32 [src X row | dst row]
-    masks: np.ndarray     # (steps*G, 4, 128) int32 adjacency bitmasks:
-    #                       bit (w%32) of word (w//32), column r =
-    #                       window row w contributes to tile row r
     blk: np.ndarray       # (steps, 1, G) int32 window block per group
     tile_of: np.ndarray   # (steps,) int32 out block index (prefetch)
+    # adjacency bitmasks, (steps*G, 4, 128) int32: bit (w%32) of word
+    # (w//32), column r = window row w contributes to tile row r. Plans
+    # are BUILT with the compact per-edge form below (16 bits/edge vs
+    # ~165 bits/edge dense at products scale — a ~13x smaller transfer to
+    # a tunneled chip) and expanded by ensure_masks (numpy on host,
+    # one scatter-add jit on device at placement).
+    masks: Optional[np.ndarray] = None
+    mask_edges: Optional[np.ndarray] = None   # (E,) uint16 = (w<<8)|r,
+    #                                           group-major order
+    mask_counts: Optional[np.ndarray] = None  # (steps*G,) int32 edges
+    #                                           per group slot
     stage_take: Optional[np.ndarray] = None  # (S_take,) int32 global col
     #                       ids, tile-consumption order, TQ-padded/tile
     n_steps: int = 0
@@ -104,15 +117,18 @@ class PanelSegment:
 
     def tree_flatten(self):
         return ((self.ctrl, self.rcopy, self.masks, self.blk,
-                 self.tile_of, self.stage_take),
+                 self.tile_of, self.stage_take, self.mask_edges,
+                 self.mask_counts),
                 (self.n_steps, self.n_tiles))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        ctrl, rcopy, masks, blk, tile_of, stage_take = children
+        (ctrl, rcopy, masks, blk, tile_of, stage_take, mask_edges,
+         mask_counts) = children
         n_steps, n_tiles = aux
         return cls(ctrl=ctrl, rcopy=rcopy, masks=masks, blk=blk,
                    tile_of=tile_of, stage_take=stage_take,
+                   mask_edges=mask_edges, mask_counts=mask_counts,
                    n_steps=n_steps, n_tiles=n_tiles)
 
 
@@ -189,9 +205,14 @@ def plan_memory_report(plan: PanelPlan, d: int = 128,
         _nbytes(plan.col_scale)
     max_table = 0
     for seg in plan.segments:
-        for leaf in (seg.ctrl, seg.rcopy, seg.masks, seg.blk,
-                     seg.tile_of, seg.stage_take):
+        for leaf in (seg.ctrl, seg.rcopy, seg.blk, seg.tile_of,
+                     seg.stage_take):
             plan_b += _nbytes(leaf)
+        # dense masks dominate resident plan bytes whether or not they
+        # have been expanded yet (2 KB per group slot)
+        n_slots = (int(seg.masks.shape[0]) if seg.masks is not None
+                   else int(seg.mask_counts.shape[0]))
+        plan_b += n_slots * 4 * _L * 4
         if seg.stage_take is not None:
             max_table = max(max_table, int(seg.stage_take.shape[0]) * 512)
     x_b = m * d * 4 + m * _L * 4
@@ -209,22 +230,84 @@ def plan_memory_report(plan: PanelPlan, d: int = 128,
 
 
 def _dense_groups(win_pos: np.ndarray, rows: np.ndarray):
-    """(masks (n_g,4,128) int32, blk_of (n_g,)) for one tile piece.
-
-    One group per distinct 128-row window block; bit (w) at column (r)
-    selects window row w into tile row r. Distinct (row, col) edges map
-    to distinct bits, so a carry-free bincount sum builds the words."""
+    """Compact dense-mask groups for one tile piece: (edges (E,) uint16 =
+    (w << 8) | r in group-major order, counts (n_g,) int32, blk_of
+    (n_g,) int32). One group per distinct 128-row window block; window
+    row w selects into tile row r."""
     if win_pos.shape[0] == 0:
-        return np.zeros((0, 4, _L), np.int32), np.zeros(0, np.int32)
+        return (np.zeros(0, np.uint16), np.zeros(0, np.int32),
+                np.zeros(0, np.int32))
     blk = win_pos // _L
     bit = win_pos - blk * _L
     u_blk, inv = np.unique(blk, return_inverse=True)
     n_g = u_blk.shape[0]
-    flat = inv * (4 * _L) + (bit >> 5) * _L + rows
-    w = np.bincount(flat, weights=(1 << (bit & 31)).astype(np.float64),
-                    minlength=n_g * 4 * _L)
-    words = w.astype(np.int64).astype(np.uint32).view(np.int32)
-    return words.reshape(n_g, 4, _L), u_blk.astype(np.int32)
+    order = np.argsort(inv, kind="stable")
+    edges = ((bit[order] << 8) | rows[order]).astype(np.uint16)
+    counts = np.bincount(inv, minlength=n_g).astype(np.int32)
+    return edges, counts, u_blk.astype(np.int32)
+
+
+def _expand_masks_np(edges: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """(n_slots, 4, 128) int32 bitmasks from compact edges (host).
+
+    Distinct (row, col) edges map to distinct bits, so a carry-free
+    bincount sum builds the words."""
+    n_slots = counts.shape[0]
+    if n_slots == 0:
+        return np.zeros((0, 4, _L), np.int32)
+    gid = np.repeat(np.arange(n_slots, dtype=np.int64),
+                    counts.astype(np.int64))
+    e = edges.astype(np.int64)
+    w = e >> 8
+    r = e & 255
+    flat = gid * (4 * _L) + (w >> 5) * _L + r
+    buf = np.bincount(flat, weights=(1 << (w & 31)).astype(np.float64),
+                      minlength=n_slots * 4 * _L)
+    return (buf.astype(np.int64).astype(np.uint32).view(np.int32)
+            .reshape(n_slots, 4, _L))
+
+
+@jax.jit
+def _expand_masks_dev(edges: jax.Array, counts: jax.Array) -> jax.Array:
+    """Device-side mask expansion: one scatter-add over distinct bits."""
+    import jax.numpy as jnp
+
+    n_slots = counts.shape[0]
+    gid = jnp.repeat(jnp.arange(n_slots, dtype=jnp.int32), counts,
+                     total_repeat_length=edges.shape[0])
+    e = edges.astype(jnp.int32)
+    w = e >> 8
+    r = e & 255
+    flat = gid * (4 * _L) + (w >> 5) * _L + r
+    val = (jnp.uint32(1) << (w & 31).astype(jnp.uint32))
+    buf = jnp.zeros(n_slots * 4 * _L, jnp.uint32).at[flat].add(val)
+    return jax.lax.bitcast_convert_type(buf, jnp.int32).reshape(
+        n_slots, 4, _L)
+
+
+def ensure_masks(plan: "PanelPlan", device: bool = False) -> "PanelPlan":
+    """Expand compact mask edges into the kernel's dense bitmasks.
+
+    ``device=True`` transfers the compact form and expands with one
+    scatter-add jit (placement path: ~13x less tunnel traffic than the
+    dense masks); otherwise numpy (sim / interpret / stacking)."""
+    if all(seg.masks is not None for seg in plan.segments):
+        return plan
+    segs = []
+    for seg in plan.segments:
+        if seg.masks is not None:
+            segs.append(seg)
+            continue
+        if device:
+            masks = _expand_masks_dev(jax.numpy.asarray(seg.mask_edges),
+                                      jax.numpy.asarray(seg.mask_counts))
+        else:
+            masks = _expand_masks_np(np.asarray(seg.mask_edges),
+                                     np.asarray(seg.mask_counts))
+        segs.append(dataclasses.replace(seg, masks=masks,
+                                        mask_edges=None,
+                                        mask_counts=None))
+    return dataclasses.replace(plan, segments=tuple(segs))
 
 
 def build_panels_plan(
@@ -438,19 +521,19 @@ def build_panels_plan(
                 wp_p = win_pos[sel].copy()
                 wp_p[wp_p >= H + RC] -= piece * s_cap
                 rr_p = r[sel]
-            mk, bo = _dense_groups(wp_p, rr_p)
+            edg, cnts, bo = _dense_groups(wp_p, rr_p)
             take_cols = col_at_pos[piece * s_cap:(piece + 1) * s_cap]
             pad = -take_cols.shape[0] % TQ
             if pad:
                 fill = take_cols[-1] if take_cols.shape[0] else 0
                 take_cols = np.concatenate(
                     [take_cols, np.full(pad, fill, np.int64)])
-            tiles_meta.append((take_cols.astype(np.int32), mk, bo))
+            tiles_meta.append((take_cols.astype(np.int32), edg, cnts, bo))
             out_of.append(t)
             first_piece.append(piece == 0)
             range_of.append(cur_range)
             n_scattered += take_cols.shape[0]
-            n_groups += mk.shape[0]
+            n_groups += cnts.shape[0]
 
     n_meta = len(tiles_meta)
 
@@ -461,19 +544,19 @@ def build_panels_plan(
     stage_quota = BMAX * SCQ  # rows stageable per step
     steps_of = []
     for t in range(n_meta):
-        need_c = max(-(-tiles_meta[t][1].shape[0] // G), 1)
+        need_c = max(-(-tiles_meta[t][2].shape[0] // G), 1)
         nxt = staged_of(t + 1) if t + 1 < n_meta else 0
         need_s = -(-nxt // stage_quota)
         steps_of.append(max(need_c, need_s, 1))
     # pad each tile's group arrays to steps*G
     for t in range(n_meta):
-        take, mk, bo = tiles_meta[t]
+        take, edg, cnts, bo = tiles_meta[t]
         want_g = steps_of[t] * G
-        pad_g = want_g - mk.shape[0]
+        pad_g = want_g - cnts.shape[0]
         if pad_g > 0:
-            mk = np.concatenate([mk, np.zeros((pad_g, 4, _L), np.int32)])
+            cnts = np.concatenate([cnts, np.zeros(pad_g, np.int32)])
             bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
-            tiles_meta[t] = (take, mk, bo)
+            tiles_meta[t] = (take, edg, cnts, bo)
             n_groups += pad_g
     S_buf = max(max((staged_of(t) for t in range(n_meta)), default=TQ), TQ)
     # align to the kernel's hi/lo split chunk so chunked splits never
@@ -485,20 +568,8 @@ def build_panels_plan(
                              f"S_buf={S_buf}")
         S_buf = int(s_buf_force)
 
-    # RMAX: range copies spread over the PREVIOUS range's steps minus one
-    range_steps = {}
-    for t in range(n_meta):
-        range_steps[range_of[t]] = range_steps.get(range_of[t], 0) \
-            + steps_of[t]
-    RMAX = 1
-    for rid in range(len(range_lo)):
-        prev_steps = range_steps.get(rid - 1, steps_of[0]) if rid \
-            else max(steps_of[0], 1)
-        RMAX = max(RMAX, -(-n_rq // max(prev_steps - 1, 1)))
-    RMAX = min(max(RMAX, 1), max(RMAX_CAP, n_rq))
-
-    # --- emit segments (cut at tile boundaries on steps or table cap) ----
-    segments = []
+    # --- segment layout (cut at tile boundaries on steps or table cap) ---
+    seg_lists = []
     seg_start = 0
     while seg_start < n_meta:
         seg_tiles = [seg_start]
@@ -513,10 +584,34 @@ def build_panels_plan(
             seg_tiles.append(nxt)
             total += steps_of[nxt]
             stage_sum += staged_of(nxt)
-        segments.append(_emit_segment(
-            tiles_meta, seg_tiles, steps_of, out_of, first_piece,
-            range_of, range_lo, R, G, S_buf, RMAX, RQ, RC, m))
+        seg_lists.append(seg_tiles)
         seg_start = seg_tiles[-1] + 1
+
+    # RMAX from the ACTUAL emission spans: within each segment, range
+    # rid's copies spread over the PREVIOUS range's local step span minus
+    # one (fill_range); a range split across segments gets a prologue in
+    # the next segment, which sizes itself from RMAX — so only the
+    # within-segment spans constrain it. (A plan-global span estimate
+    # under-sized RMAX once cap cuts landed inside ranges.)
+    RMAX = 1
+    for seg_tiles in seg_lists:
+        spans = []  # per in-segment range run: total steps
+        for t in seg_tiles:
+            if spans and range_of[t] == spans[-1][0]:
+                spans[-1][1] += steps_of[t]
+            else:
+                spans.append([range_of[t], steps_of[t]])
+        for k in range(len(spans) - 1):
+            span = max(spans[k][1] - 1, 1)
+            RMAX = max(RMAX, -(-n_rq // span))
+    RMAX = min(max(RMAX, 1), max(RMAX_CAP, n_rq))
+
+    segments = [
+        _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
+                      first_piece, range_of, range_lo, R, G, S_buf, RMAX,
+                      RQ, RC, m)
+        for seg_tiles in seg_lists
+    ]
 
     plan = PanelPlan(
         segments=tuple(segments),
@@ -575,7 +670,8 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
 
     ctrl = np.zeros((n_steps, 1, 16), np.int32)
     rcopy = np.zeros((n_steps, 2, RMAX), np.int32)
-    masks = np.zeros((n_steps * G, 4, _L), np.int32)
+    mask_counts = np.zeros(n_steps * G, np.int32)
+    mask_edges_list = []
     blk = np.zeros((n_steps, 1, G), np.int32)
     tile_of = np.zeros(n_steps, np.int32)
 
@@ -638,7 +734,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     for j, t in enumerate(seg_tiles):
         step_at.append(step)
         ns = steps_of[t]
-        take, mk, bo = tiles_meta[t]
+        take, edg, cnts, bo = tiles_meta[t]
         rid = range_of[t]
         ctrl[step:step + ns, 0, 0] = out_of[t] - out_base
         ctrl[step, 0, 15] = 1
@@ -647,7 +743,8 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
         ctrl[step:step + ns, 0, 13] = (j % 2) * S_buf
         ctrl[step:step + ns, 0, 11] = rpar_of[rid] * RC
         tile_of[step:step + ns] = out_of[t] - out_base
-        masks[step * G:(step + ns) * G] = mk
+        mask_counts[step * G:(step + ns) * G] = cnts
+        mask_edges_list.append(edg)
         blk[step:step + ns, 0, :] = bo.reshape(ns, G)
         if j + 1 < len(seg_tiles):
             fill_scattered(j + 1, step, step + ns, (j + 1) % 2)
@@ -669,7 +766,10 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     return PanelSegment(
         ctrl=ctrl,
         rcopy=rcopy,
-        masks=masks,
+        masks=None,
+        mask_edges=(np.concatenate(mask_edges_list)
+                    if mask_edges_list else np.zeros(0, np.uint16)),
+        mask_counts=mask_counts,
         blk=blk,
         tile_of=tile_of,
         stage_take=stage_take,

@@ -22,6 +22,9 @@ def _hilo(a: np.ndarray) -> np.ndarray:
 
 
 def simulate(plan: PanelPlan, x: np.ndarray) -> np.ndarray:
+    from of_spmm_tpu.sparse.panels import ensure_masks
+
+    plan = ensure_masks(plan)
     n, m = plan.shape
     d = x.shape[1]
     R, T, RC, RQ = plan.R, plan.T, plan.RC, plan.RQ

@@ -447,29 +447,11 @@ def build_ranges_plan(
             else steps_of[0]
         DMAX = max(DMAX, -(-(staged_of(t) // cq) // budget_steps))
 
-    # RMAX: range r's n_rq copies spread over the steps of the PREVIOUS
-    # range's tiles (or this range's prologue when it opens a segment)
-    range_steps = {}
-    for t in range(n_meta):
-        range_steps[range_of[t]] = range_steps.get(range_of[t], 0) \
-            + steps_of[t]
-    RMAX = 1
-    for rid in range(len(range_lo)):
-        prev_steps = range_steps.get(rid - 1, steps_of[0]) if rid \
-            else max(steps_of[0], 1)
-        # fill_range spreads range rid's copies over span-1 steps (the
-        # last step is reserved for the one-behind wait before the next
-        # range's split), so size RMAX against that shorter span
-        # (ADVICE r3: ceil(n_rq/prev_steps) under-sizes when every range
-        # spans few steps and plan build overflows the rcopy rows)
-        RMAX = max(RMAX, -(-n_rq // max(prev_steps - 1, 1)))
-    RMAX = min(max(RMAX, 1), max(RMAX_CAP, n_rq))
-
-    # --- emit segments (cut only when a new range opens; bound the
-    # per-segment scattered take table so its HBM liveness stays modest —
-    # segments are barrier-serialized by the kernel wrapper) --------------
+    # --- segment layout (cut at tile boundaries; bound the per-segment
+    # scattered take table so its HBM liveness stays modest — segments
+    # are barrier-serialized by the kernel wrapper) -----------------------
     # seg_stage_cap rows (default ~1.5 GB of packed hi|lo table)
-    segments = []
+    seg_lists = []
     seg_start = 0
     while seg_start < n_meta:
         seg_tiles = [seg_start]
@@ -489,11 +471,33 @@ def build_ranges_plan(
             seg_tiles.append(nxt)
             total += steps_of[nxt]
             stage_sum += staged_of(nxt)
-        segments.append(_emit_segment(
-            tiles_meta, seg_tiles, steps_of, out_of, first_piece,
-            range_of, range_lo, R, T, G, S_buf, DMAX, RMAX, RQ, RC, m,
-            use_rank1, stage_tier=stage_tier, cq=cq))
+        seg_lists.append(seg_tiles)
         seg_start = seg_tiles[-1] + 1
+
+    # RMAX from the ACTUAL emission spans: within each segment, a range's
+    # copies spread over the previous range's LOCAL step span minus one
+    # (fill_range; ADVICE r3). Ranges split across segments re-stage in
+    # the next segment's prologue, which sizes itself from RMAX.
+    RMAX = 1
+    for seg_tiles in seg_lists:
+        spans = []
+        for t in seg_tiles:
+            if spans and range_of[t] == spans[-1][0]:
+                spans[-1][1] += steps_of[t]
+            else:
+                spans.append([range_of[t], steps_of[t]])
+        for k in range(len(spans) - 1):
+            span = max(spans[k][1] - 1, 1)
+            RMAX = max(RMAX, -(-n_rq // span))
+    RMAX = min(max(RMAX, 1), max(RMAX_CAP, n_rq))
+
+    segments = [
+        _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
+                      first_piece, range_of, range_lo, R, T, G, S_buf,
+                      DMAX, RMAX, RQ, RC, m, use_rank1,
+                      stage_tier=stage_tier, cq=cq)
+        for seg_tiles in seg_lists
+    ]
 
     plan = RangesPlan(
         segments=tuple(segments),

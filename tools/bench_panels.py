@@ -101,9 +101,11 @@ def main():
         "E_takeless_compute": dict(nodma=True, tinytable=True),
     }
     res = {}
+    placed = place_operator(plan)
     for mode, kw in modes.items():
-        p = place_operator(_surgery(plan, **kw)) if kw else \
-            place_operator(plan)
+        # surgery only swaps the small ctrl/stage_take leaves; the placed
+        # masks (GBs over the tunnel) are reused across modes
+        p = _surgery(placed, **kw) if kw else placed
 
         def mk(k, pp=p):
             def f(o, xx):
