@@ -280,28 +280,35 @@ def bench_spgemm(name: str, iters: int = 3):
         f"{gflops:.2f} GFLOP/s  in_nnz={csr.nnz:,} out_nnz={out_nnz:,} "
         f"products={products:,}")
 
-    # device numeric phase
+    # device numeric phase: bucket-padded gathers + reshape-sum (r4 —
+    # the r3 segment_sum scatter measured 0.07 GF/s), delta-chained
     import jax.numpy as jnp
 
+    from of_spmm_tpu.ops.autograd import (spgemm_numeric_padded,
+                                          spgemm_symbolic_padded)
+    from of_spmm_tpu.utils.roofline import time_chained
+
     t0 = time.time()
-    plan = spgemm_symbolic(csr, csr)
+    plan = spgemm_symbolic_padded(csr, csr)
     sym_s = time.time() - t0
     av = jax.device_put(jnp.asarray(np.asarray(csr.vals), jnp.float32))
-    ap_ = jax.device_put(plan.a_pos)
-    bp_ = jax.device_put(plan.b_pos)
-    op_ = jax.device_put(plan.out_slot)
-    vals = spgemm_numeric(ap_, bp_, op_, av, av, out_nnz=plan.out_nnz)
-    vals.block_until_ready()
-    dts = []
-    for _ in range(max(iters, 3)):
-        t0 = time.perf_counter()
-        spgemm_numeric(ap_, bp_, op_, av, av + 0.0,
-                       out_nnz=plan.out_nnz).block_until_ready()
-        dts.append(time.perf_counter() - t0)
-    dev_s = sorted(dts)[len(dts) // 2]
+    buckets = jax.device_put(plan.buckets)
+
+    def mk(k):
+        def f(bk, a):
+            def body(i, carry):
+                s, aa = carry
+                v = spgemm_numeric_padded(bk, aa, aa)
+                return (s + v[0] * 1e-30, aa + v[0:1] * 1e-30)
+            return jax.lax.fori_loop(0, k, body, (0.0, a))[1]
+        return jax.jit(f)
+
+    dev_s = time_chained(mk, buckets, av, k1=1, iters=max(iters, 4),
+                         est_iter_s=products / 5e9)
     dev_gflops = 2 * products / dev_s / 1e9
     log(f"[spgemm {name}] device numeric {dev_s*1e3:.1f} ms  "
-        f"{dev_gflops:.2f} GFLOP/s  (symbolic {sym_s:.1f}s host)")
+        f"{dev_gflops:.2f} GFLOP/s  (symbolic {sym_s:.1f}s host, "
+        f"padded buckets)")
     return {"seconds": sec, "gflops": gflops, "out_nnz": out_nnz,
             "device_seconds": dev_s, "device_gflops": dev_gflops}
 

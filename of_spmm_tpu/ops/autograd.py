@@ -634,6 +634,109 @@ def spgemm_numeric(plan_a_pos, plan_b_pos, plan_out_slot, a_vals, b_vals,
     return jax.ops.segment_sum(prod, plan_out_slot, num_segments=out_nnz)
 
 
+@dataclasses.dataclass(frozen=True)
+class PaddedSpgemmPlan:
+    """Bucket-padded numeric plan (VERDICT r3 item 5): contributions are
+    laid out host-side as per-width-bucket (n_b, w) index matrices, so
+    the device phase is gathers from the SMALL value tables + one
+    reshape-sum — no runtime scatter (jax.ops.segment_sum on TPU is a
+    serial scatter-add at ~0.07 GF/s, the r3 measured wall).
+
+    The output pattern is COO in bucket-major order (rows/cols below);
+    callers needing row-major CSR sort host-side — the device values
+    never need the permutation."""
+
+    buckets: Tuple  # ((w, pa (n_b,w) int32, pb (n_b,w) int32), ...)
+    rows: np.ndarray       # (out_nnz,) bucket-major COO rows
+    cols: np.ndarray       # (out_nnz,) bucket-major COO cols
+    shape: Tuple[int, int]
+    out_nnz: int
+    n_products: int
+
+
+def spgemm_symbolic_padded(a: CSR, b: CSR,
+                           max_width: int = 512) -> PaddedSpgemmPlan:
+    """Bucket-padded symbolic phase built on spgemm_symbolic's expansion.
+
+    Slots are bucketed by next-pow2 contribution count; slots wider than
+    ``max_width`` are split into max_width-wide partial rows, summed in
+    a second tiny pass (kept as extra bucket rows whose (row, col)
+    repeat — downstream consumers coalesce by construction since the
+    padded pads multiply against an appended zero)."""
+    base = spgemm_symbolic(a, b)
+    P = int(np.asarray(base.a_pos).shape[0])
+    slot = np.asarray(base.out_slot, np.int64)
+    order = np.argsort(slot, kind="stable")
+    pa_s = np.asarray(base.a_pos, np.int64)[order]
+    pb_s = np.asarray(base.b_pos, np.int64)[order]
+    slot_s = slot[order]
+    counts = np.bincount(slot_s, minlength=base.out_nnz)
+    starts = np.zeros(base.out_nnz + 1, np.int64)
+    np.cumsum(counts, out=starts[1:])
+    rows_of_slot = np.repeat(
+        np.arange(base.shape[0], dtype=np.int64), np.diff(base.indptr))
+    pad_a = int(np.asarray(a.vals).shape[0])   # appended-zero position
+    pad_b = int(np.asarray(b.vals).shape[0])
+    buckets = []
+    all_rows = []
+    all_cols = []
+    w = 1
+    while w <= max_width:
+        sel = np.nonzero((counts <= w) & (counts > w // 2))[0]
+        if sel.shape[0]:
+            idx = starts[sel][:, None] + np.arange(w)[None, :]
+            valid = np.arange(w)[None, :] < counts[sel][:, None]
+            pa = np.where(valid, pa_s[np.minimum(idx, P - 1)], pad_a)
+            pb = np.where(valid, pb_s[np.minimum(idx, P - 1)], pad_b)
+            buckets.append((w, pa.astype(np.int32), pb.astype(np.int32)))
+            all_rows.append(rows_of_slot[sel])
+            all_cols.append(np.asarray(base.cols, np.int64)[sel])
+        w *= 2
+    # giant slots (> max_width): split into max_width-wide partial rows
+    big = np.nonzero(counts > max_width)[0]
+    if big.shape[0]:
+        pa_rows, pb_rows, r_rows, c_rows = [], [], [], []
+        for s in big:
+            cnt = int(counts[s])
+            n_part = -(-cnt // max_width)
+            idx = (starts[s] + np.arange(n_part * max_width)
+                   ).reshape(n_part, max_width)
+            valid = idx < starts[s] + cnt
+            pa_rows.append(np.where(valid,
+                                    pa_s[np.minimum(idx, P - 1)], pad_a))
+            pb_rows.append(np.where(valid,
+                                    pb_s[np.minimum(idx, P - 1)], pad_b))
+            r_rows.append(np.full(n_part, rows_of_slot[s]))
+            c_rows.append(np.full(n_part, base.cols[s]))
+        buckets.append((max_width,
+                        np.concatenate(pa_rows).astype(np.int32),
+                        np.concatenate(pb_rows).astype(np.int32)))
+        all_rows.append(np.concatenate(r_rows))
+        all_cols.append(np.concatenate(c_rows))
+    rows = (np.concatenate(all_rows) if all_rows
+            else np.zeros(0, np.int64)).astype(np.int32)
+    cols = (np.concatenate(all_cols) if all_cols
+            else np.zeros(0, np.int64)).astype(np.int32)
+    return PaddedSpgemmPlan(
+        buckets=tuple(buckets), rows=rows, cols=cols, shape=base.shape,
+        out_nnz=int(rows.shape[0]), n_products=P)
+
+
+@jax.jit
+def spgemm_numeric_padded(buckets, a_vals, b_vals) -> jnp.ndarray:
+    """Device numeric phase over a PaddedSpgemmPlan: per bucket, gather
+    both operands from the (small, appended-zero) value tables, multiply
+    elementwise, and reduce along the padded width — no scatter.
+    Differentiable in both value arrays (gather+sum transpose cleanly)."""
+    av = jnp.concatenate([a_vals, jnp.zeros(1, a_vals.dtype)])
+    bv = jnp.concatenate([b_vals, jnp.zeros(1, b_vals.dtype)])
+    parts = []
+    for (_w, pa, pb) in buckets:
+        prod = jnp.take(av, pa, axis=0) * jnp.take(bv, pb, axis=0)
+        parts.append(prod.sum(axis=1))
+    return (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
+
+
 def spgemm_device(a: CSR, b: CSR,
                   plan: Optional[SpgemmPlan] = None) -> Tuple[CSR, SpgemmPlan]:
     """C = A @ B with the numeric multiply-accumulate on device.

@@ -111,18 +111,23 @@ def test_hot_cache_cuts_staging():
     assert hot.n_staged < cold.n_staged, (hot.n_staged, cold.n_staged)
 
 
-def test_choose_hot_orders_by_touch():
+def test_choose_hot_picks_top_touch_sorted():
+    """choose_hot keeps the most-touched columns and returns them sorted
+    by node id (community hubs then share hot blocks on clustered
+    orderings — r4 contract; the SELECTION is still by touch count)."""
     dense, csr = _graph(600, 600, 0.01, skew=True, seed=11)
     ids = choose_hot(csr, R=128, hot_budget=256, min_run=1)
-    if ids.shape[0] >= 256:
+    if ids.shape[0] >= 128:
+        assert np.all(np.diff(ids) > 0)  # sorted, unique
         cols = np.asarray(csr.cols)
         rows = np.repeat(np.arange(600), np.diff(np.asarray(csr.indptr)))
         touch = np.zeros(600)
         for t in range(5):
             sel = (rows // 128) == t
             touch += np.isin(np.arange(600), cols[sel])
-        # first block should be at least as touched as the second
-        assert touch[ids[:128]].mean() >= touch[ids[128:256]].mean() - 1e-6
+        out = np.setdiff1d(np.arange(600), ids)
+        # the selected set is more touched than the rest
+        assert touch[ids].mean() >= touch[out].mean()
 
 
 # --- the Pallas kernel (interpret mode on CPU) -------------------------------
@@ -390,3 +395,34 @@ def test_fused_window_mode(unweighted):
     got = np.asarray(spmm_fused(plan, jnp.asarray(x)))
     np.testing.assert_allclose(got, want, rtol=RTOL,
                                atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_spgemm_padded_matches_host():
+    """Bucket-padded numeric plan (VERDICT r3 item 5): gathers from the
+    small value tables + reshape-sum, no device scatter."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from of_spmm_tpu.ops.autograd import (spgemm_numeric_padded,
+                                          spgemm_symbolic_padded)
+    from of_spmm_tpu.ops.reference import spgemm as spgemm_host
+    from of_spmm_tpu.sparse.formats import CSR
+
+    rng = np.random.default_rng(5)
+    da = (rng.random((200, 160)) < 0.08) * rng.standard_normal((200, 160))
+    db = (rng.random((160, 180)) < 0.08) * rng.standard_normal((160, 180))
+    a = CSR.from_dense(da.astype(np.float32))
+    b = CSR.from_dense(db.astype(np.float32))
+    plan = spgemm_symbolic_padded(a, b, max_width=8)  # exercise splits
+    vals = np.asarray(spgemm_numeric_padded(
+        plan.buckets, jnp.asarray(np.asarray(a.vals)),
+        jnp.asarray(np.asarray(b.vals))))
+    got = np.zeros(a.shape[0] * b.shape[1], np.float64)
+    np.add.at(got, plan.rows.astype(np.int64) * b.shape[1] + plan.cols,
+              vals.astype(np.float64))
+    want = (da @ db).ravel()
+    np.testing.assert_allclose(got, want, rtol=1e-4,
+                               atol=1e-5 * np.abs(want).max() + 1e-6)
+    # products count preserved (no silent drops)
+    c_host = spgemm_host(a, b)
+    assert plan.rows.shape[0] >= c_host.nnz
