@@ -76,7 +76,7 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         )
 
     ts_key = f"|ts{tier_size}" if tier_size else ""
-    ts_key += "|shufmatch-v1" if shuffled else ""
+    ts_key += "|shufmatch-v2" if shuffled else ""
     if layout == "expansion":
         from of_spmm_tpu.sparse.expansion import (
             DEFAULT_CW, DEFAULT_R, DEFAULT_TILE)

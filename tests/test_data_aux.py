@@ -173,10 +173,15 @@ def test_launcher_spawns_ranks(tmp_path):
     """launch sets the env contract per rank and propagates failures."""
     import subprocess, sys, os
     script = tmp_path / "child.py"
+    # each rank writes its OWN file: children share the stdout pipe and
+    # concurrent line writes can tear mid-line (observed '01 1 3' under
+    # host contention), which is a test artifact, not a launcher bug
     script.write_text(
         "import os, sys\n"
-        "print(os.environ['RANK'], os.environ['LOCAL_RANK'],"
-        " os.environ['WORLD_SIZE'], flush=True)\n"
+        "open(os.path.join(os.path.dirname(__file__),"
+        " 'rank%s.out' % os.environ['RANK']), 'w').write(\n"
+        "    ' '.join([os.environ['RANK'], os.environ['LOCAL_RANK'],"
+        " os.environ['WORLD_SIZE']]))\n"
         "sys.exit(0)\n"
     )
     # JAX_PLATFORMS=cpu: children must not touch the (single-client)
@@ -194,7 +199,8 @@ def test_launcher_spawns_ranks(tmp_path):
         if out.returncode == 0:
             break
     assert out.returncode == 0, out.stderr
-    lines = sorted(out.stdout.strip().splitlines())
+    lines = sorted((tmp_path / f"rank{r}.out").read_text()
+                   for r in range(3))
     assert lines == ["0 0 3", "1 1 3", "2 2 3"]
 
     bad = tmp_path / "bad.py"

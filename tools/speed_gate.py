@@ -56,11 +56,11 @@ def main():
     # the round-2 regression sailed through a 2-entry stale gate file).
     configs = [
         ("cora", "auto", "xla"),
-        ("ogbn-arxiv", "fused", "pallas"),
+        ("ogbn-arxiv", "panels", "pallas"),
         ("ogbn-arxiv", "ranges", "pallas"),
-        ("products-small", "fused", "pallas"),
+        ("products-small", "panels", "pallas"),
         ("products-small", "ranges", "pallas"),
-        ("ogbn-products", "fused", "pallas"),
+        ("ogbn-products", "panels", "pallas"),
         ("ogbn-products", "ranges", "pallas"),
     ]
     if os.path.exists(args.gates):
