@@ -69,11 +69,12 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
             t_r = time.time()
             csr, _ofn, _nfo = reorder_locality(csr, "match")
             reorder_s = time.time() - t_r
-        return (
-            make_operator(csr, place=False, tier_size=tier_size,
-                          keep_coo=False, layout=layout),
-            csr.nnz, csr.shape, reorder_s,
-        )
+        t_b = time.time()
+        op = make_operator(csr, place=False, tier_size=tier_size,
+                           keep_coo=False, layout=layout)
+        # COLD build seconds, stored in the cache record so warm runs
+        # still report what a from-scratch build cost (VERDICT r3 #7)
+        return op, csr.nnz, csr.shape, reorder_s, time.time() - t_b
 
     ts_key = f"|ts{tier_size}" if tier_size else ""
     ts_key += "|shufmatch-v2" if shuffled else ""
@@ -93,7 +94,7 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         nnz_est = NAMED_CONFIGS[name].n_edges
         FT = int(FLAGS.get("OFS_FUSED_T")) or (
             _BIG_T_PANELS if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
-        ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v2")
+        ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v4")
     elif layout in ("fused", "ranges"):
         from of_spmm_tpu.sparse.fused import (
             _BIG_T, _BIG_T_NNZ, DEFAULT_HOT_BUDGET, DEFAULT_R as FR,
@@ -124,9 +125,11 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         "op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}{ly_key}", build)
     op, nnz, shape = cv[:3]
     reorder_s = cv[3] if len(cv) > 3 else 0.0
+    cold_build_s = cv[4] if len(cv) > 4 else None
     plan_build_s = time.time() - t0
     log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} "
         f"({plan_build_s:.1f}s"
+        + (f"; cold build {cold_build_s:.1f}s" if cold_build_s else "")
         + (f"; shuffled, match reorder {reorder_s:.1f}s" if shuffled
            else "") + ")")
     t0 = time.time()
@@ -209,6 +212,8 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     results = {}
     results["_meta"] = {"plan_build_s": round(plan_build_s, 2),
                         "layout": layout_s, "failures": {}}
+    if cold_build_s is not None:
+        results["_meta"]["cold_build_s"] = round(cold_build_s, 2)
     if shuffled:
         results["_meta"]["reorder_s"] = round(reorder_s, 2)
 
@@ -530,6 +535,10 @@ def main():
         "synthetic_graphs": True,  # degree-law-matched stand-ins (no
         # network egress in this environment; see data/graphs.py)
     }
+    cold = {ly: mm.get("cold_build_s") for ly, mm in meta.items()
+            if mm.get("cold_build_s") is not None}
+    if cold:
+        out["cold_build_s"] = cold
     if args.shuffled:
         out["reorder_s"] = {ly: mm.get("reorder_s")
                             for ly, mm in meta.items()}

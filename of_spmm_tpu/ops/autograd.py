@@ -356,13 +356,15 @@ def place_operator(op: SpmmOperator, device=None) -> SpmmOperator:
             op.binned_t, device=on_dev)
         op = dataclasses.replace(op, binned=b, binned_t=bt)
     leaves, treedef = jax.tree_util.tree_flatten(op)
-    memo = {}
-    placed = []
+    uniq = {}
     for leaf in leaves:
-        key = id(leaf)
-        if key not in memo:
-            memo[key] = jax.device_put(leaf, device)
-        placed.append(memo[key])
+        uniq.setdefault(id(leaf), leaf)
+    # ONE batched device_put for all unique leaves: per-leaf puts pay a
+    # tunnel round-trip each (~70 transfers on a products panel plan)
+    keys = list(uniq.keys())
+    moved = jax.device_put([uniq[k] for k in keys], device)
+    memo = dict(zip(keys, moved))
+    placed = [memo[id(leaf)] for leaf in leaves]
     return jax.tree_util.tree_unflatten(treedef, placed)
 
 

@@ -51,13 +51,18 @@ DEFAULT_RANGE_CAP = 24576   # rows per range window (x2 parity x512B bf16
 DEFAULT_S_CAP = 8192        # scattered rows per tile piece (per parity)
 DEFAULT_SEG_STEPS = 16384
 DEFAULT_RQ = 1024           # rows per range-copy DMA (512 KB)
-DEFAULT_HOT_BUDGET = 16384  # hot rows (x512B window + staging = 8 MB)
-DEFAULT_HOT_MIN_RUN = 4     # keep hot blocks while lanes/tile/blk >= this.
-#                             Measured on full ogbn-products (PROFILE_r04
-#                             config matrix): hot=16384 cols beats 4096
-#                             by ~7% despite ~0.4M extra thin groups —
-#                             mid-hub columns cost a take row per
-#                             referencing tile otherwise
+DEFAULT_HOT_BUDGET = None   # adaptive (see below); pass an int to force
+DEFAULT_HOT_MIN_RUN = 4     # keep hot blocks while lanes/tile/blk >= this
+_HOT_BIG = 16384            # hot rows for graphs with many tiles
+_HOT_SMALL = 4096           # and for few-tile graphs
+_HOT_TILES = 8192           # tile-count threshold. A hot block costs one
+#                             ~88 ns group per TOUCHING TILE, a scattered
+#                             column ~6.4 ns per referencing tile, so the
+#                             residency breakeven scales with tile count:
+#                             measured full ogbn-products (19.1K tiles)
+#                             prefers 16384 hot cols (282 vs 293 ms at
+#                             4096) while products-small (1.9K tiles)
+#                             prefers 4096 (24.5 vs 43.8 ms at 16384)
 DEFAULT_MIN_BLOCK = 24      # demote range blocks with fewer edges per
 #                             tile to the scattered path: a dense-mask
 #                             group costs ~0.25us regardless of
@@ -314,7 +319,7 @@ def build_panels_plan(
     csr: CSR,
     R: int = DEFAULT_R,
     T: Optional[int] = None,
-    hot_budget: int = DEFAULT_HOT_BUDGET,
+    hot_budget: Optional[int] = DEFAULT_HOT_BUDGET,
     hot_min_run: int = DEFAULT_HOT_MIN_RUN,
     seg_steps: int = DEFAULT_SEG_STEPS,
     range_cap: int = DEFAULT_RANGE_CAP,
@@ -347,6 +352,8 @@ def build_panels_plan(
     n, m = csr.shape
     G = T // _L
     n_tiles = max(-(-n // R), 1)
+    if hot_budget is None:
+        hot_budget = _HOT_BIG if n_tiles >= _HOT_TILES else _HOT_SMALL
 
     # rank-1 detection runs on the RAW edge list: every copy of a
     # duplicated (row, col) carries r_i*c_j there, while the coalesced

@@ -35,8 +35,11 @@ ATOL = 1e-5
 def pytest_configure(config):
     config.addinivalue_line(
         "markers",
-        "slow: long-running test; skipped unless OFS_RUN_SLOW=1 "
-        "(keeps the default suite under the 10-minute budget)")
+        "slow: long-running test; skipped unless OFS_RUN_SLOW=1. "
+        "Budget (measured r4, 2-core CI host): default tier ~20 min, "
+        "+slow tier ~35 min total; run the slow tier at least once per "
+        "round (r3 review asked for it — it holds the deepest "
+        "distributed oracles).")
 
 
 def pytest_collection_modifyitems(config, items):

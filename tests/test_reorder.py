@@ -97,3 +97,61 @@ def test_reorder_rejects_rectangular():
     csr = CSR.from_dense((rng.random((10, 20)) < 0.3).astype(np.float32))
     with pytest.raises(ValueError, match="square"):
         reorder_locality(csr)
+
+
+def test_matching_order_is_permutation_and_recovers():
+    """The r4 default ("match"): multilevel heavy-edge matching is a
+    valid permutation and recovers most of the planted band coverage a
+    shuffle destroys (native hem_order when the toolchain is present,
+    numpy fallback otherwise)."""
+    from of_spmm_tpu.sparse.reorder import matching_order
+
+    dense, csr = _clustered_graph(n=1024, seed=21)
+    order = matching_order(csr, coarse_n=64)
+    n = csr.shape[0]
+    assert np.array_equal(np.sort(order), np.arange(n))
+    nfo = np.empty(n, np.int64)
+    nfo[order] = np.arange(n)
+    rel = dense[order][:, order]
+    before = locality_stats(csr, window=128)["band_coverage"]
+    after = locality_stats(CSR.from_dense(rel), window=128)["band_coverage"]
+    assert after > before * 1.5, (before, after)
+
+
+def test_matching_numpy_fallback_matches_contract():
+    """The numpy fallback path (native unavailable) is also a valid
+    permutation (qualities differ; the contract is correctness)."""
+    import of_spmm_tpu.native as native
+    from of_spmm_tpu.sparse.reorder import matching_order
+
+    _, csr = _clustered_graph(n=512, seed=23)
+    real = native.hem_order
+    native.hem_order = lambda *a, **k: None
+    try:
+        order = matching_order(csr, coarse_n=32)
+    finally:
+        native.hem_order = real
+    assert np.array_equal(np.sort(order), np.arange(csr.shape[0]))
+
+
+def test_reorder_match_through_operator():
+    """make_operator(reorder="match") keeps exactness through the
+    relabel boundary on the panels layout (the r4 --shuffled path)."""
+    import jax
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.autograd import make_operator, spmm
+
+    rng = np.random.default_rng(31)
+    n = 640
+    dense = (rng.random((n, n)) < 0.04).astype(np.float32)
+    dr = dense.sum(1)
+    with np.errstate(divide="ignore"):
+        s = np.where(dr > 0, dr ** -0.5, 0.0).astype(np.float32)
+    dense = dense * s[:, None] * s[None, :]
+    csr = CSR.from_dense(dense)
+    op = make_operator(csr, layout="panels", place=False, reorder="match")
+    x = rng.standard_normal((n, 8)).astype(np.float32)
+    y = spmm(op, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=ATOL * np.abs(dense @ x).max() + ATOL)
