@@ -124,8 +124,10 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
     cv = cached(
         "op", f"{name}|sym|gcn-norm|auto-ladder|v4{ts_key}{ly_key}", build)
     op, nnz, shape = cv[:3]
-    reorder_s = cv[3] if len(cv) > 3 else 0.0
-    cold_build_s = cv[4] if len(cv) > 4 else None
+    # scalars come back as 0-d numpy arrays from warm cache loads (the
+    # cache numpy-ifies every pytree leaf)
+    reorder_s = float(cv[3]) if len(cv) > 3 else 0.0
+    cold_build_s = float(cv[4]) if len(cv) > 4 else None
     plan_build_s = time.time() - t0
     log(f"[{name}] plan ready: n={shape[0]:,} nnz={nnz:,} "
         f"({plan_build_s:.1f}s"
