@@ -60,6 +60,8 @@ def main():
         ("ogbn-arxiv", "ranges", "pallas"),
         ("products-small", "panels", "pallas"),
         ("products-small", "ranges", "pallas"),
+        ("reddit-small", "panels", "pallas"),
+        ("reddit", "panels", "pallas"),
         ("ogbn-products", "panels", "pallas"),
         ("ogbn-products", "ranges", "pallas"),
     ]
