@@ -50,6 +50,7 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, blk_ref, masks_ref,
             sem, *, R, G, S_buf, RC, H_blocks, RMAX, RQ, interpret):
     i = pl.program_id(0)
     tile = ctrl_ref[0, 0, 0]
+    g_cnt = ctrl_ref[0, 0, 1]
     s_src = ctrl_ref[0, 0, 2]
     s_big = ctrl_ref[0, 0, 3]
     r_cnt = ctrl_ref[0, 0, 4]
@@ -189,7 +190,13 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, blk_ref, masks_ref,
                 hilo[pl.ds(woff, SC), _L:2 * _L] = lo
 
     # ---- dense-mask groups: decode + one matmul each --------------------
-    @pl.when(do_comp)
+    # Steps with NO real groups (staging-forced steps) skip the whole
+    # block via g_cnt (= real groups + 1; 0 = legacy plan, run all).
+    # Finer-grained predication was measured and REJECTED: lax.cond /
+    # pl.when around 4-group sub-blocks nearly doubles compute on this
+    # toolchain (6.4 -> 10-11 ms on products-small) — Mosaic branch
+    # entry costs far exceed the padded matmuls they skip.
+    @pl.when(jnp.logical_and(do_comp, g_cnt != 1))
     def _():
         def group(g):
             blk = blk_ref[0, 0, g]

@@ -86,7 +86,11 @@ class PanelSegment:
 
     ctrl: np.ndarray      # (steps, 1, 16) int32 per-step control words:
     #  [0] compute tile id (block index into segment output; -1 = none)
-    #  [1] (spare)
+    #  [1] real (non-padded) group count this step PLUS ONE (0 = legacy
+    #      plan without the field: run every slot). Padded group slots
+    #      sit at the tail of each tile's group list, so the kernel
+    #      skips whole _SUB-group sub-blocks past the count (tail-step
+    #      padding is 18-27% of slots at products scale)
     #  [2] scattered copy src base row (into this segment's table)
     #  [3] scattered big-chunk count this step (SCQ rows each)
     #  [4] range-copy count this step (RQ-row chunks)
@@ -744,6 +748,9 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
         take, edg, cnts, bo = tiles_meta[t]
         rid = range_of[t]
         ctrl[step:step + ns, 0, 0] = out_of[t] - out_base
+        n_real = int((cnts > 0).sum())
+        ctrl[step:step + ns, 0, 1] = 1 + np.clip(
+            n_real - np.arange(ns) * G, 0, G)
         ctrl[step, 0, 15] = 1
         ctrl[step, 0, 9] = 1 if first_piece[t] else 0
         ctrl[step, 0, 14] = take.shape[0]

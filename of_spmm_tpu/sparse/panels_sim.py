@@ -57,7 +57,7 @@ def simulate(plan: PanelPlan, x: np.ndarray) -> np.ndarray:
         out = np.zeros((seg.n_tiles * R, d), np.float32)
         for i in range(seg.n_steps):
             c = ctrl[i, 0]
-            (tile, _s1, s_src, s_big, r_cnt, s_dst, _p6, s_tail, _p8,
+            (tile, g_cnt1, s_src, s_big, r_cnt, s_dst, _p6, s_tail, _p8,
              zero_out, r_first, r_read, _p12, s_read, s_ext,
              t_first) = c[:16]
             pos = 0
@@ -82,6 +82,10 @@ def simulate(plan: PanelPlan, x: np.ndarray) -> np.ndarray:
                 hilo[SCAT0 + s_read:SCAT0 + s_read + s_ext] = _hilo(
                     scat_f32[s_read:s_read + s_ext])
             if tile < 0:
+                continue
+            # g_cnt1 = real groups + 1 (0 = legacy: run all); the kernel
+            # skips the whole group block on steps with no real groups
+            if g_cnt1 == 1:
                 continue
             acc = np.zeros((R, 2 * d), np.float32)
             for g in range(G):

@@ -144,11 +144,12 @@ FLAGS.define_int(
 FLAGS.define_int(
     "OFS_FUSED_T",
     0,
-    "Force the staging-engine lanes-per-step T; applies to BOTH the "
-    "fused engine (sparse/fused.py) and the ranges engine "
-    "(sparse/ranges.py). 0 = adaptive: the fused engine always picks "
-    "1024 (its measured best); the ranges engine picks 2048 for "
-    "graphs >= 8M nnz, else 1024.",
+    "Force the staging-engine lanes-per-step T; applies to the fused "
+    "engine (sparse/fused.py), the ranges engine (sparse/ranges.py), "
+    "AND the panel engine (sparse/panels.py; bench.py's panels plan "
+    "cache key also reads it). 0 = adaptive: fused always picks 1024 "
+    "(its measured best); ranges picks 2048 for graphs >= 8M nnz, "
+    "else 1024; panels picks 8192 for graphs >= 8M nnz, else 1024.",
 )
 FLAGS.define_int(
     "OFS_HBM_BYTES",

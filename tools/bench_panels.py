@@ -100,7 +100,10 @@ def main():
         "D_gridonly": dict(nodma=True, nocompute=True, tinytable=True),
         "E_takeless_compute": dict(nodma=True, tinytable=True),
     }
+    from of_spmm_tpu.sparse.panels import ensure_masks
+
     res = {}
+    plan = ensure_masks(plan, device=jax.devices()[0].platform != "cpu")
     placed = place_operator(plan)
     for mode, kw in modes.items():
         # surgery only swaps the small ctrl/stage_take leaves; the placed
