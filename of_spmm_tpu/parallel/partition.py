@@ -214,6 +214,7 @@ def _stack_panel_plans(plans):
         pad_s = n_steps - seg.n_steps
         ctrl = np.asarray(seg.ctrl)
         rc = np.asarray(seg.rcopy)
+        ds = np.asarray(seg.dsrc)
         masks = np.asarray(seg.masks)
         blk = np.asarray(seg.blk)
         tile_of = np.asarray(seg.tile_of)
@@ -222,10 +223,12 @@ def _stack_panel_plans(plans):
             # out-block index stays on the LAST tile so the live output
             # buffer is written back unchanged (a pad mapping to block 0
             # would clobber it with stale scratch)
-            pad_ctrl = np.zeros((pad_s, 1, 16), np.int32)
+            pad_ctrl = np.zeros((pad_s, 1, 24), np.int32)
             pad_ctrl[:, 0, 0] = -1
             ctrl = np.concatenate([ctrl, pad_ctrl])
             rc = np.concatenate([rc, np.zeros((pad_s,) + rc.shape[1:],
+                                              np.int32)])
+            ds = np.concatenate([ds, np.zeros((pad_s,) + ds.shape[1:],
                                               np.int32)])
             masks = np.concatenate(
                 [masks, np.zeros((pad_s * G,) + masks.shape[1:],
@@ -238,11 +241,11 @@ def _stack_panel_plans(plans):
             rc = np.pad(rc, ((0, 0), (0, 0), (0, RMAX - rc.shape[2])))
         take = np.asarray(seg.stage_take)
         take = np.pad(take, (0, take_len - take.shape[0]))
-        leaves.append((ctrl, rc, masks, blk, tile_of, take,
+        leaves.append((ctrl, rc, ds, masks, blk, tile_of, take,
                        np.asarray(p.row_scale, np.float32),
                        np.asarray(p.col_scale, np.float32)))
     stacked = tuple(jnp.asarray(np.stack([lv[i] for lv in leaves]))
-                    for i in range(8))
+                    for i in range(9))
     p0 = plans[0]
     aux = dict(n_steps=int(n_steps),
                n_tiles=int(p0.segments[0].n_tiles),
@@ -255,10 +258,10 @@ def make_panel_plan(leaves, aux):
     """Reconstruct one shard's PanelPlan from (squeezed) stacked leaves."""
     from of_spmm_tpu.sparse.panels import PanelPlan, PanelSegment
 
-    (ctrl, rcopy, masks, blk, tile_of, stage_take, row_scale,
+    (ctrl, rcopy, dsrc, masks, blk, tile_of, stage_take, row_scale,
      col_scale) = leaves
-    seg = PanelSegment(ctrl=ctrl, rcopy=rcopy, masks=masks, blk=blk,
-                       tile_of=tile_of, stage_take=stage_take,
+    seg = PanelSegment(ctrl=ctrl, rcopy=rcopy, dsrc=dsrc, masks=masks,
+                       blk=blk, tile_of=tile_of, stage_take=stage_take,
                        n_steps=aux["n_steps"], n_tiles=aux["n_tiles"])
     return PanelPlan(segments=(seg,), hot_ids=np.zeros(0, np.int32),
                      row_scale=row_scale, col_scale=col_scale,

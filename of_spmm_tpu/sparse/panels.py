@@ -69,8 +69,17 @@ DEFAULT_MIN_BLOCK = 24      # demote range blocks with fewer edges per
 #                             occupancy; scattered costs ~10ns/row
 SCQ = 1024                  # big scattered-copy chunk (rows)
 TQ = 128                    # tail chunk + table/window alignment (rows)
+T32 = 32                    # small tail chunk (table rows pad to 32, not
+#                             128: ~1M padded gather rows saved at
+#                             products scale, ~4.4 ns each)
 BMAX = 4                    # big chunks per step (static unroll)
 TMAX = 7                    # tail chunks per step (= SCQ/TQ - 1)
+T32MAX = 3                  # small tail chunks per step (= TQ/T32 - 1)
+DMAX = 64                   # direct-row copies per step (static unroll):
+#                             single X rows the KERNEL fetches itself on
+#                             the scalar core's idle issue slots
+#                             (~18 ns/row) instead of the serial XLA
+#                             take (~4.4 ns/row but un-overlapped)
 _KEEP_FRAC = 0.90
 _BIG_T_PANELS = 4096  # per-step grid overhead is ~0.55 us (measured);
 #                       the dense-mask group loop is unrolled-compile-
@@ -105,7 +114,13 @@ class PanelSegment:
     #  [13] scattered parity base for compute+split (= parity*S_buf)
     #  [14] scattered split extent rows (tile-first step)
     #  [15] first-step-of-tile flag
+    #  [16] direct-row copy count this step (single-row DMAs from X)
+    #  [17] prev-step direct-row count (wait)
+    #  [18] direct-row dst base (absolute row into the scat scratch)
+    #  [19] scattered 32-row tail-chunk count this step
+    #  [20] prev-step 32-row tail-chunk count (wait)
     rcopy: np.ndarray     # (steps, 2, RMAX) int32 [src X row | dst row]
+    dsrc: np.ndarray      # (steps, 1, DMAX) int32 direct-copy X rows
     blk: np.ndarray       # (steps, 1, G) int32 window block per group
     tile_of: np.ndarray   # (steps,) int32 out block index (prefetch)
     # adjacency bitmasks, (steps*G, 4, 128) int32: bit (w%32) of word
@@ -125,18 +140,18 @@ class PanelSegment:
     n_tiles: int = 0
 
     def tree_flatten(self):
-        return ((self.ctrl, self.rcopy, self.masks, self.blk,
+        return ((self.ctrl, self.rcopy, self.dsrc, self.masks, self.blk,
                  self.tile_of, self.stage_take, self.mask_edges,
                  self.mask_counts),
                 (self.n_steps, self.n_tiles))
 
     @classmethod
     def tree_unflatten(cls, aux, children):
-        (ctrl, rcopy, masks, blk, tile_of, stage_take, mask_edges,
+        (ctrl, rcopy, dsrc, masks, blk, tile_of, stage_take, mask_edges,
          mask_counts) = children
         n_steps, n_tiles = aux
-        return cls(ctrl=ctrl, rcopy=rcopy, masks=masks, blk=blk,
-                   tile_of=tile_of, stage_take=stage_take,
+        return cls(ctrl=ctrl, rcopy=rcopy, dsrc=dsrc, masks=masks,
+                   blk=blk, tile_of=tile_of, stage_take=stage_take,
                    mask_edges=mask_edges, mask_counts=mask_counts,
                    n_steps=n_steps, n_tiles=n_tiles)
 
@@ -159,25 +174,27 @@ class PanelPlan:
     n_range_rows: int
     n_scattered: int           # total take rows (padded)
     n_groups: int
+    n_direct: int = 0          # rows the kernel fetches from X itself
 
     def tree_flatten(self):
         children = (self.segments, self.hot_ids, self.row_scale,
                     self.col_scale)
         aux = (self.shape, self.R, self.T, self.RC, self.S_buf,
                self.RMAX, self.RQ, self.n_ranges, self.n_range_rows,
-               self.n_scattered, self.n_groups)
+               self.n_scattered, self.n_groups, self.n_direct)
         return children, aux
 
     @classmethod
     def tree_unflatten(cls, aux, children):
         segments, hot_ids, row_scale, col_scale = children
         (shape, R, T, RC, S_buf, RMAX, RQ, n_ranges, n_range_rows,
-         n_scattered, n_groups) = aux
+         n_scattered, n_groups, n_direct) = aux
         return cls(segments=tuple(segments), hot_ids=hot_ids,
                    row_scale=row_scale, col_scale=col_scale, shape=shape,
                    R=R, T=T, RC=RC, S_buf=S_buf, RMAX=RMAX, RQ=RQ,
                    n_ranges=n_ranges, n_range_rows=n_range_rows,
-                   n_scattered=n_scattered, n_groups=n_groups)
+                   n_scattered=n_scattered, n_groups=n_groups,
+                   n_direct=n_direct)
 
     @property
     def n_hot(self) -> int:
@@ -214,7 +231,7 @@ def plan_memory_report(plan: PanelPlan, d: int = 128,
         _nbytes(plan.col_scale)
     max_table = 0
     for seg in plan.segments:
-        for leaf in (seg.ctrl, seg.rcopy, seg.blk, seg.tile_of,
+        for leaf in (seg.ctrl, seg.rcopy, seg.dsrc, seg.blk, seg.tile_of,
                      seg.stage_take):
             plan_b += _nbytes(leaf)
         # dense masks dominate resident plan bytes whether or not they
@@ -333,6 +350,7 @@ def build_panels_plan(
     seg_stage_cap: int = 4_000_000,
     factors=None,
     s_buf_force: Optional[int] = None,
+    direct_quota: int = DMAX,
 ) -> PanelPlan:
     """Host-side panel plan build (numpy + native pass-1). Values must
     factor rank-1 (vals[e] = r[row[e]] * c[col[e]]); raises ValueError
@@ -344,7 +362,15 @@ def build_panels_plan(
     parallel/partition.py passes the global factors remapped into the
     local index space). ``s_buf_force``: pad the scattered buffer to a
     caller-chosen size (>= the computed one) so plans built per shard
-    share static kernel parameters (SPMD stacking)."""
+    share static kernel parameters (SPMD stacking).
+
+    ``direct_quota``: rows per step the KERNEL fetches from X itself
+    (single-row DMAs issued on the scalar core's idle slots, hidden
+    behind the mask-group matmuls) instead of through the serial XLA
+    take — the one un-overlapped phase (PROFILE_r04 section 3). Each
+    tile's last positions become the direct region, sized to the
+    previous tile's step count so the per-step issue load stays under
+    the quota. 0 disables."""
     if R != _L:
         raise ValueError("panel engine requires R=128 (dense masks index "
                          "output rows as mask columns)")
@@ -355,6 +381,7 @@ def build_panels_plan(
             _BIG_T_PANELS if csr.nnz >= _BIG_T_NNZ else DEFAULT_T)
     n, m = csr.shape
     G = T // _L
+    direct_quota = min(max(int(direct_quota), 0), DMAX)
     n_tiles = max(-(-n // R), 1)
     if hot_budget is None:
         hot_budget = _HOT_BIG if n_tiles >= _HOT_TILES else _HOT_SMALL
@@ -428,14 +455,17 @@ def build_panels_plan(
 
     # --- per-tile pass: classify cols, pick/keep ranges, build masks -----
     shuffle_rng = np.random.default_rng(0)
-    tiles_meta = []    # (take_cols, masks, blk_of) per VIRTUAL tile piece
+    tiles_meta = []    # (take_cols, edges, counts, blk_of, direct_cols)
     out_of = []
     first_piece = []
     range_of = []
     range_lo = []
     n_scattered = 0
+    n_direct = 0
     n_groups = 0
     cur_range = -1
+    prev_est = 1   # compute-step estimate of the previously emitted
+    #                piece: the issue window for this tile's directs
     starts = indptr[np.minimum(np.arange(n_tiles + 1) * R, n)]
     for t in range(n_tiles):
         r0, r1 = t * R, min((t + 1) * R, n)
@@ -498,26 +528,42 @@ def build_panels_plan(
         # permutation de-bands the take for free; block copies move the
         # whole region regardless of internal order.
         perm = shuffle_rng.permutation(n_u + n_ex).astype(np.int64)
+        n_pos = n_u + n_ex
+        n_pieces = max(1, -(-max(n_pos, 1) // s_cap))
+
+        # direct region: the tile's LAST D positions bypass the XLA
+        # take (single-piece tiles only; the issue window is the
+        # previous piece's compute steps). The table part pads to T32
+        # so the pad gap [n_table, P) sits between table and directs.
+        if n_pieces == 1 and direct_quota > 0:
+            D = int(min(n_pos, direct_quota * prev_est))
+        else:
+            D = 0
+        n_table = n_pos - D
+        P = -(-n_table // T32) * T32
+        shift = P - n_table
+        adj = np.where(perm >= n_table, perm + shift, perm) if shift \
+            else perm
 
         win_pos = np.empty(c.shape[0], dtype=np.int64)
         win_pos[is_hot] = hr[is_hot]
         win_pos[in_range] = H + (c[in_range] - lo_r)
-        win_pos[is_scat] = H + RC + perm[scat_inv]
+        win_pos[is_scat] = H + RC + adj[scat_inv]
         if n_ex:
             win_pos = np.concatenate(
                 [win_pos,
-                 H + RC + perm[n_u + np.arange(n_ex, dtype=np.int64)]])
+                 H + RC + adj[n_u + np.arange(n_ex, dtype=np.int64)]])
             r = np.concatenate([r, extra_rows[ex_lo:ex_hi] - r0])
 
         # position -> column map (the table/window order is the
-        # shuffled position order)
-        col_at_pos = np.empty(n_u + n_ex, dtype=np.int64)
+        # shuffled position order, BEFORE the pad-gap shift)
+        col_at_pos = np.empty(n_pos, dtype=np.int64)
         col_at_pos[perm] = np.concatenate(
             [scat_u, extra_cols[ex_lo:ex_hi]]) if n_ex else scat_u
+        direct_cols = col_at_pos[n_table:n_pos].astype(np.int32)
 
         # scattered overflow: split into virtual pieces; pieces > 0 carry
         # only the scattered tail (hot+range stay in piece 0)
-        n_pieces = max(1, -(-max(col_at_pos.shape[0], 1) // s_cap))
         for piece in range(n_pieces):
             if n_pieces == 1:
                 sel = slice(None)
@@ -533,18 +579,24 @@ def build_panels_plan(
                 wp_p[wp_p >= H + RC] -= piece * s_cap
                 rr_p = r[sel]
             edg, cnts, bo = _dense_groups(wp_p, rr_p)
-            take_cols = col_at_pos[piece * s_cap:(piece + 1) * s_cap]
-            pad = -take_cols.shape[0] % TQ
+            take_cols = col_at_pos[piece * s_cap:
+                                   min((piece + 1) * s_cap, n_table)]
+            pad = -take_cols.shape[0] % T32
             if pad:
                 fill = take_cols[-1] if take_cols.shape[0] else 0
                 take_cols = np.concatenate(
                     [take_cols, np.full(pad, fill, np.int64)])
-            tiles_meta.append((take_cols.astype(np.int32), edg, cnts, bo))
+            dc = direct_cols if piece == n_pieces - 1 else \
+                np.zeros(0, np.int32)
+            tiles_meta.append((take_cols.astype(np.int32), edg, cnts, bo,
+                               dc))
             out_of.append(t)
             first_piece.append(piece == 0)
             range_of.append(cur_range)
             n_scattered += take_cols.shape[0]
+            n_direct += dc.shape[0]
             n_groups += cnts.shape[0]
+            prev_est = max(-(-cnts.shape[0] // G), 1)
 
     n_meta = len(tiles_meta)
 
@@ -558,18 +610,21 @@ def build_panels_plan(
         need_c = max(-(-tiles_meta[t][2].shape[0] // G), 1)
         nxt = staged_of(t + 1) if t + 1 < n_meta else 0
         need_s = -(-nxt // stage_quota)
-        steps_of.append(max(need_c, need_s, 1))
+        nxt_d = tiles_meta[t + 1][4].shape[0] if t + 1 < n_meta else 0
+        need_d = -(-nxt_d // max(direct_quota, 1))
+        steps_of.append(max(need_c, need_s, need_d, 1))
     # pad each tile's group arrays to steps*G
     for t in range(n_meta):
-        take, edg, cnts, bo = tiles_meta[t]
+        take, edg, cnts, bo, dc = tiles_meta[t]
         want_g = steps_of[t] * G
         pad_g = want_g - cnts.shape[0]
         if pad_g > 0:
             cnts = np.concatenate([cnts, np.zeros(pad_g, np.int32)])
             bo = np.concatenate([bo, np.zeros(pad_g, np.int32)])
-            tiles_meta[t] = (take, edg, cnts, bo)
+            tiles_meta[t] = (take, edg, cnts, bo, dc)
             n_groups += pad_g
-    S_buf = max(max((staged_of(t) for t in range(n_meta)), default=TQ), TQ)
+    S_buf = max(max((staged_of(t) + tiles_meta[t][4].shape[0]
+                     for t in range(n_meta)), default=TQ), TQ)
     # align to the kernel's hi/lo split chunk so chunked splits never
     # cross into the other parity's region (cf. sparse/fused.py S_buf)
     S_buf += -S_buf % 2048 if S_buf > 2048 else -S_buf % TQ
@@ -620,7 +675,7 @@ def build_panels_plan(
     segments = [
         _emit_segment(tiles_meta, seg_tiles, steps_of, out_of,
                       first_piece, range_of, range_lo, R, G, S_buf, RMAX,
-                      RQ, RC, m)
+                      RQ, RC, m, direct_quota)
         for seg_tiles in seg_lists
     ]
 
@@ -634,6 +689,7 @@ def build_panels_plan(
         RQ=int(RQ), n_ranges=len(range_lo),
         n_range_rows=len(range_lo) * int(RC),
         n_scattered=int(n_scattered), n_groups=int(n_groups),
+        n_direct=int(n_direct),
     )
     rep = plan_memory_report(plan)
     if not rep["fits"]:
@@ -649,13 +705,14 @@ def build_panels_plan(
 
 def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
                   range_of, range_lo, R, G, S_buf, RMAX, RQ, RC,
-                  m):  # noqa: C901
+                  m, direct_quota):  # noqa: C901
     """Lay out one segment's step stream.
 
     Prologue stages tile 0's scattered rows AND range 0's copies; per
     tile, compute steps co-stage the NEXT tile's scattered rows (parity
-    ping-pong, one-step-behind waits); each range's steps carry the NEXT
-    range's copies (minus the last step)."""
+    ping-pong, one-step-behind waits) and issue the NEXT tile's
+    direct-row copies (single X rows, DMAX/step); each range's steps
+    carry the NEXT range's copies (minus the last step)."""
     # table: per-tile-piece padded col lists in consumption order
     table_base = {}
     base = 0
@@ -675,12 +732,15 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
 
     first = seg_tiles[0]
     n_rq = RC // RQ
+    d_first = tiles_meta[seg_tiles[0]][4].shape[0]
     prologue = max(steps_of[first], -(-n_rq // RMAX) + 1,
-                   -(-staged_of_meta(tiles_meta, first) // (BMAX * SCQ)))
+                   -(-staged_of_meta(tiles_meta, first) // (BMAX * SCQ)),
+                   -(-d_first // max(direct_quota, 1)))
     n_steps = prologue + sum(steps_of[t] for t in seg_tiles)
 
-    ctrl = np.zeros((n_steps, 1, 16), np.int32)
+    ctrl = np.zeros((n_steps, 1, 24), np.int32)
     rcopy = np.zeros((n_steps, 2, RMAX), np.int32)
+    dsrc = np.zeros((n_steps, 1, DMAX), np.int32)
     mask_counts = np.zeros(n_steps * G, np.int32)
     mask_edges_list = []
     blk = np.zeros((n_steps, 1, G), np.int32)
@@ -693,22 +753,46 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
         src0 = table_base[j]
         nsteps = step_hi - step_lo
         n_big = rows // SCQ
-        n_tail = (rows - n_big * SCQ) // TQ   # <= TMAX by construction
+        rem = rows - n_big * SCQ
+        n_tail = rem // TQ                    # <= TMAX by construction
+        n_t32 = (rem - n_tail * TQ) // T32    # <= T32MAX
         per_big = -(-n_big // nsteps) if n_big else 0
         pos = 0  # rows staged
         bdone = 0
-        tdone = 0
+        tdone = False
         for s in range(step_lo, step_hi):
             b = max(min(per_big, n_big - bdone), 0)
-            tl = n_tail - tdone if bdone + b == n_big else 0
+            tl = t32 = 0
+            if bdone + b == n_big and not tdone:
+                tl, t32 = n_tail, n_t32
+                tdone = True
             ctrl[s, 0, 2] = src0 + pos
             ctrl[s, 0, 5] = parity * S_buf + pos
             ctrl[s, 0, 3] = b
             ctrl[s, 0, 7] = tl
-            pos += b * SCQ + tl * TQ
+            ctrl[s, 0, 19] = t32
+            pos += b * SCQ + tl * TQ + t32 * T32
             bdone += b
-            tdone += tl
-        assert pos == rows, (pos, rows, n_big, n_tail, nsteps)
+        assert pos == rows, (pos, rows, n_big, n_tail, n_t32, nsteps)
+
+    def fill_direct(j, step_lo, step_hi, parity):
+        dc = tiles_meta[seg_tiles[j]][4]
+        nd = dc.shape[0]
+        if not nd:
+            return
+        base = parity * S_buf + tiles_meta[seg_tiles[j]][0].shape[0]
+        nsteps = step_hi - step_lo
+        per = -(-nd // nsteps)
+        assert per <= DMAX, (per, nd, nsteps)
+        pos = 0
+        for s in range(step_lo, step_hi):
+            k = max(min(per, nd - pos), 0)
+            ctrl[s, 0, 16] = k
+            ctrl[s, 0, 18] = base + pos
+            if k:
+                dsrc[s, 0, :k] = dc[pos:pos + k]
+            pos += k
+        assert pos == nd, (pos, nd, nsteps)
 
     def fill_range(rid, step_lo, step_hi, parity):
         lo = range_lo[rid]
@@ -729,6 +813,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     # prologue: no compute
     ctrl[:prologue, 0, 0] = -1
     fill_scattered(0, 0, prologue, 0)
+    fill_direct(0, 0, prologue, 0)
     fill_range(range_of[first], 0, prologue - 1, 0)
 
     seg_ranges = []
@@ -745,7 +830,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     for j, t in enumerate(seg_tiles):
         step_at.append(step)
         ns = steps_of[t]
-        take, edg, cnts, bo = tiles_meta[t]
+        take, edg, cnts, bo, dc = tiles_meta[t]
         rid = range_of[t]
         ctrl[step:step + ns, 0, 0] = out_of[t] - out_base
         n_real = int((cnts > 0).sum())
@@ -753,7 +838,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
             n_real - np.arange(ns) * G, 0, G)
         ctrl[step, 0, 15] = 1
         ctrl[step, 0, 9] = 1 if first_piece[t] else 0
-        ctrl[step, 0, 14] = take.shape[0]
+        ctrl[step, 0, 14] = take.shape[0] + dc.shape[0]
         ctrl[step:step + ns, 0, 13] = (j % 2) * S_buf
         ctrl[step:step + ns, 0, 11] = rpar_of[rid] * RC
         tile_of[step:step + ns] = out_of[t] - out_base
@@ -762,6 +847,7 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
         blk[step:step + ns, 0, :] = bo.reshape(ns, G)
         if j + 1 < len(seg_tiles):
             fill_scattered(j + 1, step, step + ns, (j + 1) % 2)
+            fill_direct(j + 1, step, step + ns, (j + 1) % 2)
         step += ns
 
     for k, (rid, j_lo, j_hi) in enumerate(seg_ranges):
@@ -776,10 +862,13 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     ctrl[1:, 0, 6] = ctrl[:-1, 0, 3]
     ctrl[1:, 0, 8] = ctrl[:-1, 0, 7]
     ctrl[1:, 0, 12] = ctrl[:-1, 0, 4]
+    ctrl[1:, 0, 17] = ctrl[:-1, 0, 16]
+    ctrl[1:, 0, 20] = ctrl[:-1, 0, 19]
 
     return PanelSegment(
         ctrl=ctrl,
         rcopy=rcopy,
+        dsrc=dsrc,
         masks=None,
         mask_edges=(np.concatenate(mask_edges_list)
                     if mask_edges_list else np.zeros(0, np.uint16)),
