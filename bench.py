@@ -94,7 +94,7 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         nnz_est = NAMED_CONFIGS[name].n_edges
         FT = int(FLAGS.get("OFS_FUSED_T")) or (
             _BIG_T_PANELS if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
-        ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v4")
+        ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v6")
     elif layout in ("fused", "ranges"):
         from of_spmm_tpu.sparse.fused import (
             _BIG_T, _BIG_T_NNZ, DEFAULT_HOT_BUDGET, DEFAULT_R as FR,

@@ -295,7 +295,8 @@ int expansion_pass1(int64_t n_rows, int64_t nnz, const int64_t* indptr,
 // ordering back down the contraction forest. out_order: n int64
 // (old_from_new). Returns 0 on success.
 int hem_order(int64_t n, const int64_t* indptr, const int32_t* cols,
-              const float* vals, int64_t coarse_n, int64_t* out_order) {
+              const float* vals, int64_t coarse_n, int64_t max_levels,
+              int64_t* out_order) {
   // working CSR copy (weights in double: contracted sums)
   std::vector<int64_t> ip(indptr, indptr + n + 1);
   int64_t nnz0 = ip[n];
@@ -344,7 +345,7 @@ int hem_order(int64_t n, const int64_t* indptr, const int32_t* cols,
   };
   std::vector<Level> levels;
   int64_t cur = n;
-  for (int pass = 0; pass < 48 && cur > coarse_n; ++pass) {
+  for (int64_t pass = 0; pass < max_levels && cur > coarse_n; ++pass) {
     // GREEDY heavy-edge matching, periphery (low degree) first: each
     // unmatched vertex takes its heaviest still-unmatched neighbor.
     // (Mutual-only matching stalls at ~1%/level here: every low-degree

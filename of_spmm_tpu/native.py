@@ -97,7 +97,7 @@ def _lib() -> Optional[ctypes.CDLL]:
                                         i32p, i32p, f32p, i32p, i64p]
         lib.expansion_pass1.restype = ctypes.c_int
         lib.hem_order.argtypes = [i64, i64p, i32p, ctypes.c_void_p, i64,
-                                  i64p]
+                                  i64, i64p]
         lib.hem_order.restype = ctypes.c_int
         _LIB = lib
         return _LIB
@@ -255,8 +255,8 @@ def expansion_pass1(indptr: np.ndarray, cols: np.ndarray, vals: np.ndarray,
 
 
 def hem_order(indptr: np.ndarray, cols: np.ndarray,
-              vals: Optional[np.ndarray], coarse_n: int
-              ) -> Optional[np.ndarray]:
+              vals: Optional[np.ndarray], coarse_n: int,
+              max_levels: int = 48) -> Optional[np.ndarray]:
     """Multilevel heavy-edge-matching permutation (sparse/reorder.py
     matching_order, native path). Returns old_from_new (n,) int64 or
     None when the native library is unavailable."""
@@ -270,7 +270,8 @@ def hem_order(indptr: np.ndarray, cols: np.ndarray,
     vp = (None if vals is None
           else np.ascontiguousarray(vals, dtype=np.float32)
           .ctypes.data_as(ctypes.c_void_p))
-    rc = lib.hem_order(n, indptr, cols, vp, int(coarse_n), out)
+    rc = lib.hem_order(n, indptr, cols, vp, int(coarse_n),
+                       int(max_levels), out)
     if rc != 0:
         return None
     return out

@@ -665,6 +665,13 @@ def spgemm_symbolic_padded(a: CSR, b: CSR,
     a second tiny pass (kept as extra bucket rows whose (row, col)
     repeat — downstream consumers coalesce by construction since the
     padded pads multiply against an appended zero)."""
+    if max_width < 1 or max_width & (max_width - 1):
+        # the doubling bucket ladder ends at the largest power of two
+        # <= max_width; a non-power-of-two cap would leave slots with
+        # counts in (2^k, max_width] in no bucket and silently drop
+        # their products (advisor finding, round 4)
+        raise ValueError(f"max_width must be a power of two, "
+                         f"got {max_width}")
     base = spgemm_symbolic(a, b)
     P = int(np.asarray(base.a_pos).shape[0])
     slot = np.asarray(base.out_slot, np.int64)
@@ -736,6 +743,8 @@ def spgemm_numeric_padded(buckets, a_vals, b_vals) -> jnp.ndarray:
     for (_w, pa, pb) in buckets:
         prod = jnp.take(av, pa, axis=0) * jnp.take(bv, pb, axis=0)
         parts.append(prod.sum(axis=1))
+    if not parts:  # A @ B with zero products
+        return jnp.zeros(0, a_vals.dtype)
     return (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
 
 

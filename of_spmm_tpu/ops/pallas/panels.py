@@ -34,23 +34,28 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from of_spmm_tpu.sparse.panels import (
-    _L, BMAX, DMAX, SCQ, T32, T32MAX, TMAX, TQ, PanelPlan, PanelSegment)
+    _L, BMAX, DMAX, SCQ, TMAX, TQ, PanelPlan, PanelSegment)
 
-# semaphore slots: bigs, 128-row tails, 32-row tails, ranges, then the
-# direct-row copies (DMAX x 2 halves)
+# semaphore slots: bigs, 128-row tails, ranges, then the direct-row
+# copies (DMAX x 2 halves)
 _SB = 0
 _ST = 2 * BMAX
-_S32 = _ST + 2 * TMAX
-_SR = _S32 + 2 * T32MAX
+_SR = _ST + 2 * TMAX
 _SD = _SR + 4
 _NSEM = _SD + 2 * DMAX
 _RG_HALF = 2
 
 
-def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, dsrc_ref, blk_ref,
-            masks_ref, hot_ref, xs_ref, table_ref, o_ref, hilo,
-            range_f32, scat_f32, sem, *, R, G, S_buf, RC, H_blocks,
-            RMAX, RQ, interpret):
+def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
+            H_blocks, RMAX, RQ, has_direct, interpret):
+    # dsrc only ships when the plan stages direct rows: an extra SMEM
+    # operand stream costs measurable per-step overhead on every plan
+    if has_direct:
+        dsrc_ref, rest = rest[0], rest[1:]
+    else:
+        dsrc_ref = None
+    (blk_ref, masks_ref, hot_ref, xs_ref, table_ref, o_ref, hilo,
+     range_f32, scat_f32, sem) = rest
     i = pl.program_id(0)
     tile = ctrl_ref[0, 0, 0]
     g_cnt = ctrl_ref[0, 0, 1]
@@ -71,8 +76,6 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, dsrc_ref, blk_ref,
     d_cnt = ctrl_ref[0, 0, 16]
     prev_d = ctrl_ref[0, 0, 17]
     d_dst = ctrl_ref[0, 0, 18]
-    s_t32 = ctrl_ref[0, 0, 19]
-    prev_t32 = ctrl_ref[0, 0, 20]
     do_comp = tile >= 0
     RCB = RC // _L
 
@@ -83,12 +86,11 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, dsrc_ref, blk_ref,
             hilo[0:H_blocks * _L, :] = hot_ref[:]
 
     # ---- zero the scattered scratch + window region once ----------------
-    # Staged extents are T32(32)-row aligned (and direct rows arbitrary),
-    # so a 128-row window block can span both used positions and
-    # never-staged rows; uninitialized VMEM there would poison the
-    # masked matmul (0 x NaN = NaN). One-time zeros keep every row the
-    # split ever copies finite (later steps only overwrite with staged
-    # X data).
+    # Direct rows make staged extents non-TQ-aligned, so a 128-row
+    # window block can span both used positions and never-staged rows;
+    # uninitialized VMEM there would poison the masked matmul
+    # (0 x NaN = NaN). One-time zeros keep every row the split ever
+    # copies finite (later steps only overwrite with staged X data).
     @pl.when(i == 0)
     def _():
         scat_f32[:, :] = jnp.zeros_like(scat_f32)
@@ -115,20 +117,11 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, dsrc_ref, blk_ref,
                     table_ref.at[pl.ds(0, TQ), :],
                     scat_f32.at[pl.ds(0, TQ), :],
                     sem.at[_ST + k + half_wait * TMAX]).wait()
-        for k in range(T32MAX):
-            @pl.when(jnp.logical_and(i > 0, k < prev_t32))
-            def _(k=k):
-                pltpu.make_async_copy(
-                    table_ref.at[pl.ds(0, T32), :],
-                    scat_f32.at[pl.ds(0, T32), :],
-                    sem.at[_S32 + k + half_wait * T32MAX]).wait()
         for k in range(BMAX if use_big else 0):
             @pl.when(k < s_big)
             def _(k=k):
-                # table extents are T32-aligned (not TQ) since the
-                # 32-row padding change
-                src = pl.multiple_of(s_src + k * SCQ, T32)
-                dst = pl.multiple_of(s_dst + k * SCQ, T32)
+                src = pl.multiple_of(s_src + k * SCQ, TQ)
+                dst = pl.multiple_of(s_dst + k * SCQ, TQ)
                 pltpu.make_async_copy(
                     table_ref.at[pl.ds(src, SCQ), :],
                     scat_f32.at[pl.ds(dst, SCQ), :],
@@ -136,23 +129,12 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, dsrc_ref, blk_ref,
         for k in range(TMAX):
             @pl.when(k < s_tail)
             def _(k=k):
-                src = pl.multiple_of(s_src + s_big * SCQ + k * TQ, T32)
-                dst = pl.multiple_of(s_dst + s_big * SCQ + k * TQ, T32)
+                src = pl.multiple_of(s_src + s_big * SCQ + k * TQ, TQ)
+                dst = pl.multiple_of(s_dst + s_big * SCQ + k * TQ, TQ)
                 pltpu.make_async_copy(
                     table_ref.at[pl.ds(src, TQ), :],
                     scat_f32.at[pl.ds(dst, TQ), :],
                     sem.at[_ST + k + half_issue * TMAX]).start()
-        for k in range(T32MAX):
-            @pl.when(k < s_t32)
-            def _(k=k):
-                src = pl.multiple_of(
-                    s_src + s_big * SCQ + s_tail * TQ + k * T32, T32)
-                dst = pl.multiple_of(
-                    s_dst + s_big * SCQ + s_tail * TQ + k * T32, T32)
-                pltpu.make_async_copy(
-                    table_ref.at[pl.ds(src, T32), :],
-                    scat_f32.at[pl.ds(dst, T32), :],
-                    sem.at[_S32 + k + half_issue * T32MAX]).start()
 
     @pl.when(i % 2 == 0)
     def _():
@@ -190,9 +172,9 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, dsrc_ref, blk_ref,
         rng_block(_RG_HALF, 0)
 
     # ---- direct rows: single X rows fetched by the kernel itself --------
-    # The issue cost (~18 ns/row) rides the scalar core's idle slots
-    # under the mask-group matmuls; each row skipped saves ~4.4 ns of
-    # the serial XLA take PLUS its table write+reread HBM traffic.
+    # Issue cost is ADDITIVE on the scalar instruction stream (measured
+    # ~18 ns/row exposed — see DEFAULT_DIRECT_QUOTA); compiled out
+    # entirely unless the plan staged direct rows.
     def dir_block(half_issue, half_wait):
         @pl.when(jnp.logical_and(i > 0, prev_d > 0))
         def _():
@@ -215,13 +197,14 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, dsrc_ref, blk_ref,
                         scat_f32.at[pl.ds(d_dst + k, 1), :],
                         sem.at[_SD + k + half_issue * DMAX]).start()
 
-    @pl.when(i % 2 == 0)
-    def _():
-        dir_block(0, 1)
+    if has_direct:
+        @pl.when(i % 2 == 0)
+        def _():
+            dir_block(0, 1)
 
-    @pl.when(i % 2 == 1)
-    def _():
-        dir_block(1, 0)
+        @pl.when(i % 2 == 1)
+        def _():
+            dir_block(1, 0)
 
     # ---- zero output on the first step of a tile's first piece ----------
     @pl.when(jnp.logical_and(do_comp, zero_out == 1))
@@ -306,10 +289,11 @@ def _segment_call(seg: PanelSegment, plan: PanelPlan, hot_hilo, xs,
     G = plan.T // _L
     H_blocks = plan.n_hot // _L
 
+    has_direct = bool(plan.n_direct)
     kernel = functools.partial(
         _kernel, R=R, G=G, S_buf=plan.S_buf, RC=plan.RC,
         H_blocks=H_blocks, RMAX=plan.RMAX, RQ=plan.RQ,
-        interpret=interpret)
+        has_direct=has_direct, interpret=interpret)
 
     def smem(shape):
         return pl.BlockSpec(shape,
@@ -319,7 +303,7 @@ def _segment_call(seg: PanelSegment, plan: PanelPlan, hot_hilo, xs,
     in_specs = [
         smem((1, 1, 24)),                    # ctrl
         smem((1, 2, plan.RMAX)),             # rcopy
-        smem((1, 1, DMAX)),                  # dsrc
+        *([smem((1, 1, DMAX))] if has_direct else []),   # dsrc
         smem((1, 1, G)),                     # blk
         pl.BlockSpec((G, 4, _L), lambda i, t: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # masks
@@ -330,8 +314,9 @@ def _segment_call(seg: PanelSegment, plan: PanelPlan, hot_hilo, xs,
     ]
     table = jnp.take(xs, jnp.asarray(seg.stage_take), axis=0,
                      mode="clip")
-    args = [seg.ctrl, seg.rcopy, seg.dsrc, seg.blk, seg.masks, hot_hilo,
-            xs, table]
+    args = [seg.ctrl, seg.rcopy,
+            *([seg.dsrc] if has_direct else []), seg.blk, seg.masks,
+            hot_hilo, xs, table]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

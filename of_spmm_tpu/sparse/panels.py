@@ -69,17 +69,22 @@ DEFAULT_MIN_BLOCK = 24      # demote range blocks with fewer edges per
 #                             occupancy; scattered costs ~10ns/row
 SCQ = 1024                  # big scattered-copy chunk (rows)
 TQ = 128                    # tail chunk + table/window alignment (rows)
-T32 = 32                    # small tail chunk (table rows pad to 32, not
-#                             128: ~1M padded gather rows saved at
-#                             products scale, ~4.4 ns each)
 BMAX = 4                    # big chunks per step (static unroll)
 TMAX = 7                    # tail chunks per step (= SCQ/TQ - 1)
-T32MAX = 3                  # small tail chunks per step (= TQ/T32 - 1)
-DMAX = 64                   # direct-row copies per step (static unroll):
-#                             single X rows the KERNEL fetches itself on
-#                             the scalar core's idle issue slots
-#                             (~18 ns/row) instead of the serial XLA
-#                             take (~4.4 ns/row but un-overlapped)
+DMAX = 32                   # direct-row copies per step (static unroll
+#                             bound): single X rows the KERNEL fetches
+#                             itself on the scalar core's idle issue
+#                             slots (~18 ns/row) instead of the serial
+#                             XLA take (~4.4 ns/row but un-overlapped).
+#                             MEASURED NEGATIVE (PROFILE_r05): Mosaic
+#                             schedules the kernel body as one scalar
+#                             instruction stream, so issue cost is
+#                             ADDITIVE, not hidden (quota 64: +3.3 ms
+#                             exposed on products-small for 0.8 ms of
+#                             take saved; quota 24: +2.7 for 0.8). The
+#                             machinery stays for schedule experiments;
+#                             the default disables it
+DEFAULT_DIRECT_QUOTA = 0
 _KEEP_FRAC = 0.90
 _BIG_T_PANELS = 4096  # per-step grid overhead is ~0.55 us (measured);
 #                       the dense-mask group loop is unrolled-compile-
@@ -117,8 +122,6 @@ class PanelSegment:
     #  [16] direct-row copy count this step (single-row DMAs from X)
     #  [17] prev-step direct-row count (wait)
     #  [18] direct-row dst base (absolute row into the scat scratch)
-    #  [19] scattered 32-row tail-chunk count this step
-    #  [20] prev-step 32-row tail-chunk count (wait)
     rcopy: np.ndarray     # (steps, 2, RMAX) int32 [src X row | dst row]
     dsrc: np.ndarray      # (steps, 1, DMAX) int32 direct-copy X rows
     blk: np.ndarray       # (steps, 1, G) int32 window block per group
@@ -350,7 +353,7 @@ def build_panels_plan(
     seg_stage_cap: int = 4_000_000,
     factors=None,
     s_buf_force: Optional[int] = None,
-    direct_quota: int = DMAX,
+    direct_quota: int = DEFAULT_DIRECT_QUOTA,
 ) -> PanelPlan:
     """Host-side panel plan build (numpy + native pass-1). Values must
     factor rank-1 (vals[e] = r[row[e]] * c[col[e]]); raises ValueError
@@ -533,14 +536,18 @@ def build_panels_plan(
 
         # direct region: the tile's LAST D positions bypass the XLA
         # take (single-piece tiles only; the issue window is the
-        # previous piece's compute steps). The table part pads to T32
-        # so the pad gap [n_table, P) sits between table and directs.
+        # previous piece's compute steps). The table part pads to TQ so
+        # the pad gap [n_table, P) sits between table and directs.
+        # (32-row table padding was tried and REVERTED: the XLA gather
+        # runs ~40 ms SLOWER on full products with 32-aligned tile
+        # slices than with 128-aligned repeat-padded ones, despite 1M
+        # fewer rows — PROFILE_r05.)
         if n_pieces == 1 and direct_quota > 0:
             D = int(min(n_pos, direct_quota * prev_est))
         else:
             D = 0
         n_table = n_pos - D
-        P = -(-n_table // T32) * T32
+        P = -(-n_table // TQ) * TQ
         shift = P - n_table
         adj = np.where(perm >= n_table, perm + shift, perm) if shift \
             else perm
@@ -581,7 +588,7 @@ def build_panels_plan(
             edg, cnts, bo = _dense_groups(wp_p, rr_p)
             take_cols = col_at_pos[piece * s_cap:
                                    min((piece + 1) * s_cap, n_table)]
-            pad = -take_cols.shape[0] % T32
+            pad = -take_cols.shape[0] % TQ
             if pad:
                 fill = take_cols[-1] if take_cols.shape[0] else 0
                 take_cols = np.concatenate(
@@ -753,27 +760,24 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
         src0 = table_base[j]
         nsteps = step_hi - step_lo
         n_big = rows // SCQ
-        rem = rows - n_big * SCQ
-        n_tail = rem // TQ                    # <= TMAX by construction
-        n_t32 = (rem - n_tail * TQ) // T32    # <= T32MAX
+        n_tail = (rows - n_big * SCQ) // TQ   # <= TMAX by construction
         per_big = -(-n_big // nsteps) if n_big else 0
         pos = 0  # rows staged
         bdone = 0
         tdone = False
         for s in range(step_lo, step_hi):
             b = max(min(per_big, n_big - bdone), 0)
-            tl = t32 = 0
+            tl = 0
             if bdone + b == n_big and not tdone:
-                tl, t32 = n_tail, n_t32
+                tl = n_tail
                 tdone = True
             ctrl[s, 0, 2] = src0 + pos
             ctrl[s, 0, 5] = parity * S_buf + pos
             ctrl[s, 0, 3] = b
             ctrl[s, 0, 7] = tl
-            ctrl[s, 0, 19] = t32
-            pos += b * SCQ + tl * TQ + t32 * T32
+            pos += b * SCQ + tl * TQ
             bdone += b
-        assert pos == rows, (pos, rows, n_big, n_tail, n_t32, nsteps)
+        assert pos == rows, (pos, rows, n_big, n_tail, nsteps)
 
     def fill_direct(j, step_lo, step_hi, parity):
         dc = tiles_meta[seg_tiles[j]][4]
@@ -863,7 +867,6 @@ def _emit_segment(tiles_meta, seg_tiles, steps_of, out_of, first_piece,
     ctrl[1:, 0, 8] = ctrl[:-1, 0, 7]
     ctrl[1:, 0, 12] = ctrl[:-1, 0, 4]
     ctrl[1:, 0, 17] = ctrl[:-1, 0, 16]
-    ctrl[1:, 0, 20] = ctrl[:-1, 0, 19]
 
     return PanelSegment(
         ctrl=ctrl,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from of_spmm_tpu.sparse.panels import _L, SCQ, T32, TQ, PanelPlan
+from of_spmm_tpu.sparse.panels import _L, SCQ, TQ, PanelPlan
 
 
 def _hilo(a: np.ndarray) -> np.ndarray:
@@ -61,7 +61,7 @@ def simulate(plan: PanelPlan, x: np.ndarray) -> np.ndarray:
             (tile, g_cnt1, s_src, s_big, r_cnt, s_dst, _p6, s_tail, _p8,
              zero_out, r_first, r_read, _p12, s_read, s_ext,
              t_first) = c[:16]
-            d_cnt, _p17, d_dst, s_t32 = c[16], c[17], c[18], c[19]
+            d_cnt, _p17, d_dst = c[16], c[17], c[18]
             pos = 0
             for k in range(s_big):
                 table_sl = table[s_src + pos:s_src + pos + SCQ]
@@ -71,10 +71,6 @@ def simulate(plan: PanelPlan, x: np.ndarray) -> np.ndarray:
                 table_sl = table[s_src + pos:s_src + pos + TQ]
                 scat_f32[s_dst + pos:s_dst + pos + TQ] = table_sl
                 pos += TQ
-            for k in range(s_t32):
-                table_sl = table[s_src + pos:s_src + pos + T32]
-                scat_f32[s_dst + pos:s_dst + pos + T32] = table_sl
-                pos += T32
             for k in range(d_cnt):
                 scat_f32[d_dst + k] = xs[dsrc[i, 0, k]]
             for k in range(r_cnt):

@@ -136,7 +136,7 @@ def label_prop_order(csr: CSR, iters: int = 8,
 
 
 def matching_order(csr: CSR, coarse_n: int = 2048,
-                   max_levels: int = 24) -> np.ndarray:
+                   max_levels: int = 48) -> np.ndarray:
     """Multilevel heavy-edge-matching permutation (METIS-style
     coarsening without refinement).
 
@@ -153,13 +153,21 @@ def matching_order(csr: CSR, coarse_n: int = 2048,
     65 labels / 0.20 band coverage on shuffled products-small, vs 0.62
     for this pass — PROFILE_r04.md); matching has no label dynamics to
     oscillate. O(E log E) per level with geometrically shrinking E.
+
+    The native path (csrc/planner.cpp hem_order) and this numpy
+    fallback differ algorithmically: native uses Jaccard
+    common-neighbor level-0 weights (256-degree hub cap) with GREEDY
+    periphery-first matching; the fallback matches mutually on raw
+    contracted weights. Orderings and recovered locality therefore
+    differ by toolchain — tests pin only the permutation contract.
     """
     n = csr.shape[0]
     indptr = np.asarray(csr.indptr, dtype=np.int64)
     from of_spmm_tpu import native
 
     nat = native.hem_order(indptr, np.asarray(csr.cols),
-                           np.asarray(csr.vals, np.float32), coarse_n)
+                           np.asarray(csr.vals, np.float32), coarse_n,
+                           max_levels)
     if nat is not None:
         return nat
     cols = np.asarray(csr.cols, dtype=np.int64)

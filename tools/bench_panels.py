@@ -45,8 +45,6 @@ def _surgery(plan, nodma=False, nocompute=False, tinytable=False):
             ctrl[:, 0, 14] = 0   # scat split extent
             ctrl[:, 0, 16] = 0   # direct rows
             ctrl[:, 0, 17] = 0
-            ctrl[:, 0, 19] = 0   # scat 32-row tail
-            ctrl[:, 0, 20] = 0
         if nodma:
             ctrl[:, 0, 4] = 0    # range copies
             ctrl[:, 0, 12] = 0
