@@ -65,8 +65,10 @@ _HOT_TILES = 8192           # tile-count threshold. A hot block costs one
 #                             prefers 4096 (24.5 vs 43.8 ms at 16384)
 DEFAULT_MIN_BLOCK = 24      # demote range blocks with fewer edges per
 #                             tile to the scattered path: a dense-mask
-#                             group costs ~0.25us regardless of
-#                             occupancy; scattered costs ~10ns/row
+#                             group slot costs ~46-54 ns regardless of
+#                             occupancy; scattered rows ~5 ns of serial
+#                             XLA take (min_block=12 measured a wash:
+#                             277.9 vs 275.7 ms on full products)
 SCQ = 1024                  # big scattered-copy chunk (rows)
 TQ = 128                    # tail chunk + table/window alignment (rows)
 BMAX = 4                    # big chunks per step (static unroll)
@@ -86,11 +88,13 @@ DMAX = 32                   # direct-row copies per step (static unroll
 #                             the default disables it
 DEFAULT_DIRECT_QUOTA = 0
 _KEEP_FRAC = 0.90
-_BIG_T_PANELS = 4096  # per-step grid overhead is ~0.55 us (measured);
-#                       the dense-mask group loop is unrolled-compile-
-#                       safe at G=32 (no dependent chains), so big
-#                       graphs halve their step count vs G=16
-#                       (products-small 25.3 -> 24.5 ms)
+_BIG_T_PANELS = 8192  # per-step grid overhead is ~0.55-0.95 us
+#                       (measured); the dense-mask group loop is
+#                       unrolled-compile-safe with no dependent chains,
+#                       so big graphs cut their step count with larger
+#                       G (full products: 283.0 ms at T=4096, 275.7 at
+#                       T=8192; T=16384's padded mask slots no longer
+#                       fit the HBM plan budget)
 
 
 @jax.tree_util.register_pytree_node_class
