@@ -178,7 +178,7 @@ def _make_panels_local(plan: RowPartitionPlan):
     from of_spmm_tpu.ops.pallas.panels import spmm_panels
     from of_spmm_tpu.parallel.partition import make_panel_plan
 
-    aux_f, aux_b = plan.panel_aux
+    aux_f, aux_b = plan.panel_aux[:2]
 
     def _sq(leaves):
         return tuple(a.reshape(a.shape[1:]) for a in leaves)
@@ -200,6 +200,53 @@ def _make_panels_local(plan: RowPartitionPlan):
         dxcat = spmm_panels(make_panel_plan(_sq(bwd_lv), aux_b), dy)
         zeros = jax.tree_util.tree_map(jnp.zeros_like, (fwd_lv, bwd_lv))
         return (*zeros, dxcat)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f
+
+
+def _make_panels_split_local(plan: "RowPartitionPlan"):
+    """Differentiable SPLIT panel-engine local SpMM (VERDICT r4 item 3):
+    the interior plan (cols in [own X | hub]) computes while the halo
+    collective is in flight; the boundary plan runs on the full
+    [own | halo | hub] space after it lands. Backward reuses the ONE
+    combined transpose plan (dXcat = A_local^T @ dY): the interior
+    piece's cotangent is folded into dxcat (A_local = A_int + A_bnd in
+    the xcat index space), so dx_int is a structural zero and upstream
+    concat/collective transposes route everything correctly."""
+    from of_spmm_tpu.ops.pallas.panels import spmm_panels
+    from of_spmm_tpu.parallel.partition import make_panel_plan
+
+    aux_f, aux_b, aux_i = plan.panel_aux
+
+    def _sq(leaves):
+        return tuple(a.reshape(a.shape[1:]) for a in leaves)
+
+    def fwd_val(int_lv, bnd_lv, x_int, xcat):
+        y = spmm_panels(make_panel_plan(_sq(int_lv), aux_i), x_int)
+        return y + spmm_panels(make_panel_plan(_sq(bnd_lv), aux_f), xcat)
+
+    if plan.panel_bwd is None:
+        def f0(int_lv, bnd_lv, bwd_lv, x_int, xcat):
+            return fwd_val(int_lv, bnd_lv, x_int, xcat)
+        return f0
+
+    @jax.custom_vjp
+    def f(int_lv, bnd_lv, bwd_lv, x_int, xcat):
+        return fwd_val(int_lv, bnd_lv, x_int, xcat)
+
+    def f_fwd(int_lv, bnd_lv, bwd_lv, x_int, xcat):
+        return f(int_lv, bnd_lv, bwd_lv, x_int, xcat), \
+            (int_lv, bnd_lv, bwd_lv)
+
+    def f_bwd(res, dy):
+        int_lv, bnd_lv, bwd_lv = res
+        dxcat = spmm_panels(make_panel_plan(_sq(bwd_lv), aux_b), dy)
+        zeros = jax.tree_util.tree_map(jnp.zeros_like,
+                                       (int_lv, bnd_lv, bwd_lv))
+        dx_int = jnp.zeros(
+            (plan.cols_per_shard + plan.n_hubs, dy.shape[1]), dy.dtype)
+        return (*zeros, dx_int, dxcat)
 
     f.defvjp(f_fwd, f_bwd)
     return f
@@ -260,6 +307,65 @@ def dist_spmm(
     t_arrays = (
         _arrays(plan.transpose_buckets) if diff_pallas else ()
     )
+
+    if plan.split and impl == "panels":
+        if plan.panel_int is None:
+            raise ValueError(
+                "impl='panels' on a split plan needs partition_rows("
+                "..., split_boundary=True, local_engine='panels')")
+        f_ps = _make_panels_split_local(plan)
+        p_bwd = plan.panel_bwd or ()
+        hub_idx = (plan.hub_local_idx if plan.n_hubs
+                   else jnp.zeros((S, 1), jnp.int32))
+
+        def body_ps(send_idx, off_sends, p_int, p_bnd, p_bwd_lv,
+                    hub_idx_local, x_local):
+            # issue the halo collective FIRST: the interior panel plan
+            # only reads [own X | hub], so its compute overlaps the
+            # exchange (XLA async collectives)
+            if plan.ragged:
+                halo = _exchange_halo_ragged(plan, x_local, off_sends,
+                                             axis, d)
+            else:
+                send = jnp.take(x_local, send_idx.reshape(-1), axis=0) \
+                    .reshape(S, H, d)
+                halo = jax.lax.all_to_all(
+                    send, axis, split_axis=0, concat_axis=0, tiled=False
+                ).reshape(S * H, d)
+            parts = [x_local]
+            if plan.n_hubs:
+                parts.append(_gather_hubs(plan, hub_idx_local, x_local,
+                                          axis))
+            x_int = jnp.concatenate(parts, axis=0) if len(parts) > 1 \
+                else x_local
+            xcat = jnp.concatenate(
+                [x_local, halo] + parts[1:], axis=0)
+            return f_ps(p_int, p_bnd, p_bwd_lv, x_int, xcat)
+
+        off_sends = plan.offset_send or ()
+        shard = jax.shard_map(
+            body_ps,
+            mesh=mesh,
+            in_specs=(P(axis),
+                      jax.tree_util.tree_map(lambda _: P(axis), off_sends),
+                      jax.tree_util.tree_map(lambda _: P(axis),
+                                             plan.panel_int),
+                      jax.tree_util.tree_map(lambda _: P(axis),
+                                             plan.panel_fwd),
+                      jax.tree_util.tree_map(lambda _: P(axis), p_bwd),
+                      P(axis),
+                      P(axis)),
+            out_specs=P(axis),
+            check_vma=False,
+        )
+        out = shard(plan.send_idx, off_sends, plan.panel_int,
+                    plan.panel_fwd, p_bwd, hub_idx, xp)
+        return _unpack_y(plan, out)
+
+    if plan.split and plan.n_hubs:
+        raise ValueError(
+            "split plan with replicated hubs requires impl='panels' "
+            "(the binned split body does not gather the hub slab)")
 
     if plan.split:
         interior_arrays = _arrays(plan.interior_buckets)

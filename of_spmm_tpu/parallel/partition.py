@@ -122,14 +122,18 @@ class RowPartitionPlan:
     # panel_aux; panel_bwd is the transposed local plan for the backward.
     panel_fwd: Optional[Tuple[jnp.ndarray, ...]] = None
     panel_bwd: Optional[Tuple[jnp.ndarray, ...]] = None
-    panel_aux: Optional[tuple] = None  # (aux_fwd, aux_bwd) static dicts
+    # split_boundary + panels: panel_fwd is the BOUNDARY piece and
+    # panel_int the interior piece (cols in [own X | hub] only, so its
+    # compute overlaps the halo collective — VERDICT r4 item 3)
+    panel_int: Optional[Tuple[jnp.ndarray, ...]] = None
+    panel_aux: Optional[tuple] = None  # (aux_fwd, aux_bwd, aux_int)
 
     def tree_flatten(self):
         children = (self.buckets, self.send_idx, self.interior_buckets,
                     self.boundary_buckets, self.hub_local_idx,
                     self.hub_perm, self.transpose_buckets,
                     self.offset_send, self.x_pack_idx, self.y_unpack_idx,
-                    self.panel_fwd, self.panel_bwd)
+                    self.panel_fwd, self.panel_bwd, self.panel_int)
         aux = (self.shape, self.n_shards, self.rows_per_shard,
                self.cols_per_shard, self.halo_size, self.offset_widths,
                self.panel_aux)
@@ -139,7 +143,7 @@ class RowPartitionPlan:
     def tree_unflatten(cls, aux, children):
         (buckets, send_idx, interior, boundary, hub_idx, hub_perm,
          transpose, offset_send, x_pack, y_unpack, panel_fwd,
-         panel_bwd) = children
+         panel_bwd, panel_int) = children
         shape, s, rps, cps, h, offw, panel_aux = aux
         return cls(buckets=tuple(buckets), send_idx=send_idx, shape=shape,
                    n_shards=s, rows_per_shard=rps, cols_per_shard=cps,
@@ -153,6 +157,7 @@ class RowPartitionPlan:
                    x_pack_idx=x_pack, y_unpack_idx=y_unpack,
                    panel_fwd=None if panel_fwd is None else tuple(panel_fwd),
                    panel_bwd=None if panel_bwd is None else tuple(panel_bwd),
+                   panel_int=None if panel_int is None else tuple(panel_int),
                    panel_aux=panel_aux)
 
     @property
@@ -357,10 +362,11 @@ def partition_rows(
                          f"{local_engine!r}")
     rg = cg = None
     if local_engine == "panels":
-        if split_boundary:
-            raise ValueError("local_engine='panels' is incompatible with "
-                             "split_boundary (the panel plan stages halo "
-                             "and local columns through one window)")
+        # split_boundary + panels (r5, VERDICT r4 item 3): TWO panel
+        # plans per shard — interior (rows whose refs stay in
+        # [own X | hub], compacted col space) runs concurrently with the
+        # halo collective; boundary (rows with halo refs, full
+        # [own | halo | hub] space) runs after it lands.
         from of_spmm_tpu.sparse.expansion2 import factor_rank1 as _fr1
 
         fg = _fr1(csr)
@@ -453,17 +459,21 @@ def partition_rows(
                                        minlength=S).max()), 1)
         return halo_rows + S * kmax
 
-    if split_boundary and not auto_hubs and hub_candidates[0]:
-        # the split dist_spmm body gathers [x_local | halo] only — it
-        # never appends the broadcast hub slab, so replicated-hub columns
-        # would read clipped/garbage rows (ADVICE r3). Reject loudly
-        # rather than computing silently wrong results.
-        raise ValueError(
-            "split_boundary=True is incompatible with replicate_hubs>0 "
-            "(the split compute body does not gather the hub slab); "
-            "use replicate_hubs=0 or split_boundary=False")
-    if split_boundary and auto_hubs:
-        hub_candidates = (0,)  # auto never picks hubs under split bodies
+    if split_boundary and local_engine != "panels":
+        # the BINNED split dist_spmm body gathers [x_local | halo] only —
+        # it never appends the broadcast hub slab, so replicated-hub
+        # columns would read clipped/garbage rows (ADVICE r3). The
+        # panels split body gathers the hub slab before interior
+        # compute, so hubs are allowed there.
+        if not auto_hubs and hub_candidates[0]:
+            raise ValueError(
+                "split_boundary=True is incompatible with "
+                "replicate_hubs>0 for local_engine='binned' (the split "
+                "compute body does not gather the hub slab); use "
+                "replicate_hubs=0, split_boundary=False, or "
+                "local_engine='panels'")
+        if auto_hubs:
+            hub_candidates = (0,)  # binned split bodies never pick hubs
     if len(hub_candidates) > 1:
         K = min(hub_candidates, key=modeled_bytes)
     else:
@@ -568,6 +578,7 @@ def partition_rows(
     per_shard_binned = []
     per_shard_t_binned = []
     panel_csrs, panel_facs = [], []
+    panel_int_csrs, panel_int_facs = [], []
     panel_t_csrs, panel_t_facs = [], []
     for p in range(S):
         r0, r1, lo, hi = shard_slices[p]
@@ -636,9 +647,11 @@ def partition_rows(
                 panel_t_csrs.append(t_csr)
                 panel_t_facs.append((cl, rl))
         if split_boundary:
-            # a row is BOUNDARY iff any of its nnz references halo
-            # (remapped col >= cps); interior rows gather only local X.
-            is_halo = (remapped >= cps).astype(np.int64)
+            # a row is BOUNDARY iff any of its nnz references HALO
+            # (hub columns ride the broadcast slab, available before the
+            # exchange); interior rows gather only [own X | hub].
+            is_halo = ((remapped >= cps)
+                       & (remapped < cps + halo_total)).astype(np.int64)
             cum = np.zeros(remapped.shape[0] + 1, np.int64)
             np.cumsum(is_halo, out=cum[1:])
             row_halo = (cum[local_indptr[1:]] - cum[local_indptr[:-1]]) > 0
@@ -659,6 +672,23 @@ def partition_rows(
                 (bin_rows(masked_csr(~row_halo), ladder=ladder),
                  bin_rows(masked_csr(row_halo), ladder=ladder))
             )
+            if local_engine == "panels":
+                # interior piece: hub cols compacted next to own X so the
+                # plan's col space is [own (cps) | hub (K)] — no halo
+                # section to stage windows over
+                keep_i = np.repeat(~row_halo, np.diff(local_indptr))
+                ci = remapped[keep_i].copy()
+                ci[ci >= cps + halo_total] -= halo_total
+                cnt_i = np.diff(local_indptr) * (~row_halo)
+                ip_i = np.zeros(local_indptr.shape[0], np.int64)
+                np.cumsum(cnt_i, out=ip_i[1:])
+                panel_int_csrs.append(CSR.from_arrays(
+                    ip_i.astype(np.int64), ci.astype(np.int32),
+                    v[keep_i], (rps, cps + K)))
+                cl_int = np.concatenate([cl[:cps],
+                                         cl[cps + halo_total:]])
+                panel_int_facs.append((rl, cl_int))
+                panel_csrs.append(masked_csr(row_halo))  # boundary piece
         else:
             local_csr = CSR.from_arrays(
                 local_indptr.astype(np.int32),
@@ -673,20 +703,25 @@ def partition_rows(
     t_buckets = (
         _stack_binned(per_shard_t_binned, ladder) if with_transpose else None
     )
-    panel_fwd = panel_bwd = None
+    panel_fwd = panel_bwd = panel_int = None
     panel_aux = None
     if local_engine == "panels":
         from of_spmm_tpu.sparse.fused import _BIG_T_NNZ, DEFAULT_T
         from of_spmm_tpu.sparse.panels import _BIG_T_PANELS
 
         T_force = _BIG_T_PANELS if csr.nnz >= _BIG_T_NNZ else DEFAULT_T
+        # panel_csrs carry the full local matrix (non-split) or the
+        # BOUNDARY piece (split_boundary); panel_int the interior piece
         panel_fwd, aux_f = _build_panel_stack(panel_csrs, panel_facs,
                                               T_force)
-        aux_b = None
+        aux_b = aux_i = None
+        if split_boundary:
+            panel_int, aux_i = _build_panel_stack(panel_int_csrs,
+                                                  panel_int_facs, T_force)
         if with_transpose:
             panel_bwd, aux_b = _build_panel_stack(panel_t_csrs,
                                                   panel_t_facs, T_force)
-        panel_aux = (aux_f, aux_b)
+        panel_aux = (aux_f, aux_b, aux_i)
     common = dict(
         send_idx=jnp.asarray(send_idx),
         shape=csr.shape,
@@ -705,6 +740,7 @@ def partition_rows(
                       else jnp.asarray(y_unpack_idx)),
         panel_fwd=panel_fwd,
         panel_bwd=panel_bwd,
+        panel_int=panel_int,
         panel_aux=panel_aux,
     )
     if split_boundary:
