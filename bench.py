@@ -316,8 +316,38 @@ def bench_spgemm(name: str, iters: int = 3):
     log(f"[spgemm {name}] device numeric {dev_s*1e3:.1f} ms  "
         f"{dev_gflops:.2f} GFLOP/s  (symbolic {sym_s:.1f}s host, "
         f"padded buckets)")
+
+    # product-form numeric (r5): COO-with-dups values in product order —
+    # the slot merge moves to the consumer (the framework's sparse
+    # engines accept duplicate edges), so the device phase loses the
+    # per-product single-element takes (ops/autograd.py
+    # ProductSpgemmPlan)
+    from of_spmm_tpu.ops.autograd import (spgemm_numeric_products,
+                                          spgemm_symbolic_products)
+
+    t0 = time.time()
+    pplan = spgemm_symbolic_products(csr, csr)
+    psym_s = time.time() - t0
+
+    def mkp(k):
+        def f(pl, a):
+            def body(i, carry):
+                s, aa = carry
+                v = spgemm_numeric_products(pl, aa, aa)
+                return (s + v[0] * 1e-30, aa + v[0:1] * 1e-30)
+            return jax.lax.fori_loop(0, k, body, (0.0, a))[1]
+        return jax.jit(f)
+
+    prod_s = time_chained(mkp, pplan, av, k1=1, iters=max(iters, 4),
+                          est_iter_s=products / 20e9)
+    prod_gflops = 2 * products / prod_s / 1e9
+    log(f"[spgemm {name}] device product-form {prod_s*1e3:.1f} ms  "
+        f"{prod_gflops:.2f} GFLOP/s  (symbolic {psym_s:.1f}s host, "
+        f"n_out={pplan.n_out:,} for {products:,} products)")
     return {"seconds": sec, "gflops": gflops, "out_nnz": out_nnz,
-            "device_seconds": dev_s, "device_gflops": dev_gflops}
+            "device_seconds": dev_s, "device_gflops": dev_gflops,
+            "device_products_seconds": prod_s,
+            "device_products_gflops": prod_gflops}
 
 
 def bench_spmv(name: str, iters: int = 8):

@@ -748,6 +748,169 @@ def spgemm_numeric_padded(buckets, a_vals, b_vals) -> jnp.ndarray:
     return (jnp.concatenate(parts) if len(parts) > 1 else parts[0])
 
 
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class ProductSpgemmPlan:
+    """Product-form SpGEMM numeric plan (r5, VERDICT r4 item 5).
+
+    The slot-merged padded-bucket layout is gather-bound: every product
+    issues TWO single-element takes (~2.8 ns each, 140M takes on the
+    arxiv 2-hop config -> 0.53 GF/s). This plan instead emits C in
+    PRODUCT order as COO-with-duplicates — the representation the
+    framework's own sparse consumers accept (the panel/binned engines
+    carry duplicate edges; coalesce_duplicates merges when a caller
+    needs strict CSR):
+
+      per B-width bucket c:  prod_c = a_stream_c[:, None] * b_ell[rows_c]
+
+    so the A side is ONE nnz_A-element permutation gather (stream
+    order) + contiguous slices, and the B side is nnz_A ROW gathers
+    from the ELL-padded value table — no per-product takes. Padding
+    products are explicit zeros whose (row, col) point at slot 0.
+    """
+
+    a_perm: jnp.ndarray            # (nnz_A,) int32: edge -> stream order
+    ell_idx: jnp.ndarray           # (ell_rows,) int32 into b_vals (+pad)
+    ell_ptr: Tuple[int, ...]       # bucket row offsets into the ell table
+    buckets: Tuple                 # ((W, e_lo, e_hi, brow_ids), ...)
+    rows: np.ndarray               # (n_out,) int32 COO rows (with dups)
+    cols: np.ndarray               # (n_out,) int32 COO cols (with dups)
+    shape: Tuple[int, int]
+    n_products: int                # true (unpadded) product count
+    n_out: int                     # emitted entries incl. padding zeros
+
+    def tree_flatten(self):
+        children = (self.a_perm, self.ell_idx,
+                    tuple(br for (_, _, _, br) in self.buckets))
+        aux = (self.ell_ptr,
+               tuple((W, lo, hi) for (W, lo, hi, _) in self.buckets),
+               self.shape, self.n_products, self.n_out)
+        return children, aux
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        a_perm, ell_idx, brows = children
+        ell_ptr, descs, shape, n_products, n_out = aux
+        buckets = tuple((W, lo, hi, br)
+                        for (W, lo, hi), br in zip(descs, brows))
+        # rows/cols are host-side coordinate arrays, not traced leaves
+        return cls(a_perm=a_perm, ell_idx=ell_idx, ell_ptr=ell_ptr,
+                   buckets=buckets, rows=None, cols=None, shape=shape,
+                   n_products=n_products, n_out=n_out)
+
+
+def spgemm_symbolic_products(a: CSR, b: CSR,
+                             ladder=(1, 2, 4, 8, 16, 32, 64, 128, 256,
+                                     512)) -> ProductSpgemmPlan:
+    """Host symbolic phase for the product-form numeric (see
+    ProductSpgemmPlan). B rows are bucketed by next-ladder width; each
+    A edge (i, k) joins the bucket of B row k."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"spgemm shape mismatch: {a.shape} @ {b.shape}")
+    a_indptr = np.asarray(a.indptr, np.int64)
+    a_cols = np.asarray(a.cols, np.int64)
+    b_indptr = np.asarray(b.indptr, np.int64)
+    b_cols = np.asarray(b.cols, np.int64)
+    nnz_a = a_cols.shape[0]
+    nnz_b = b_cols.shape[0]
+    m = b.shape[0]
+    a_rows = np.repeat(np.arange(a.shape[0], dtype=np.int64),
+                       np.diff(a_indptr))
+    b_deg = np.diff(b_indptr)
+    ladder = tuple(sorted(set(int(w) for w in ladder)))
+    wmax = ladder[-1]
+    if int(b_deg.max(initial=0)) > wmax:
+        raise ValueError(f"B row degree {int(b_deg.max())} exceeds the "
+                         f"ladder cap {wmax}")
+    # width class per B row (rows with degree 0 never join: their
+    # products do not exist)
+    wclass = np.searchsorted(ladder, np.maximum(b_deg, 1))
+    a_perm_parts, bucket_descs = [], []
+    ell_parts, ell_ptr = [], [0]
+    rows_parts, cols_parts = [], []
+    e_lo = 0
+    n_products = 0
+    for c, W in enumerate(ladder):
+        rows_c = np.nonzero((wclass == c) & (b_deg > 0))[0]
+        edges_c = np.nonzero((wclass[a_cols] == c)
+                             & (b_deg[a_cols] > 0))[0]
+        if rows_c.shape[0] == 0 or edges_c.shape[0] == 0:
+            continue  # rows without referencing edges need no table
+        # ELL slab for this bucket: (len(rows_c), W) positions into
+        # b_vals, padded with nnz_b (the appended-zero slot)
+        base = b_indptr[rows_c][:, None] + np.arange(W)[None, :]
+        valid = np.arange(W)[None, :] < b_deg[rows_c][:, None]
+        ell = np.where(valid, np.minimum(base, nnz_b - 1), nnz_b)
+        ell_parts.append(ell.astype(np.int32).ravel())
+        # rank of each B row within the bucket's slab
+        rank = np.full(m, -1, np.int64)
+        rank[rows_c] = np.arange(rows_c.shape[0])
+        a_perm_parts.append(edges_c.astype(np.int32))
+        brow_ids = rank[a_cols[edges_c]].astype(np.int32)
+        e_hi = e_lo + edges_c.shape[0]
+        bucket_descs.append((W, e_lo, e_hi, brow_ids))
+        # output coordinates, product order; pads -> (row of the edge,
+        # an arbitrary valid col) with an explicit zero value
+        pos = ell[brow_ids].reshape(-1)
+        oc = b_cols[np.minimum(pos, max(nnz_b - 1, 0))]
+        orow = np.repeat(a_rows[edges_c], W)
+        rows_parts.append(orow.astype(np.int32))
+        cols_parts.append(oc.astype(np.int32))
+        n_products += int(b_deg[a_cols[edges_c]].sum())
+        e_lo = e_hi
+        ell_ptr.append(ell_ptr[-1] + rows_c.shape[0] * W)  # flat elems
+    a_perm = (np.concatenate(a_perm_parts) if a_perm_parts
+              else np.zeros(0, np.int32))
+    return ProductSpgemmPlan(
+        a_perm=jnp.asarray(a_perm),
+        ell_idx=jnp.asarray(np.concatenate(ell_parts) if ell_parts
+                            else np.zeros(0, np.int32)),
+        ell_ptr=tuple(ell_ptr),
+        buckets=tuple((W, lo, hi, jnp.asarray(br))
+                      for (W, lo, hi, br) in bucket_descs),
+        rows=(np.concatenate(rows_parts) if rows_parts
+              else np.zeros(0, np.int32)),
+        cols=(np.concatenate(cols_parts) if cols_parts
+              else np.zeros(0, np.int32)),
+        shape=(a.shape[0], b.shape[1]),
+        n_products=int(n_products),
+        n_out=int(sum((hi - lo) * W
+                      for (W, lo, hi, _)in bucket_descs)),
+    )
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ell_ptr", "widths", "e_bounds"))
+def _spgemm_products_jit(a_perm, ell_idx, brows, a_vals,
+                         b_vals, *, ell_ptr, widths, e_bounds):
+    bv = jnp.concatenate([b_vals, jnp.zeros(1, b_vals.dtype)])
+    b_ell_flat = jnp.take(bv, ell_idx, axis=0)
+    a_stream = jnp.take(a_vals, a_perm, axis=0)
+    outs = []
+    for c, W in enumerate(widths):
+        lo, hi = e_bounds[c]
+        slab = jax.lax.dynamic_slice_in_dim(
+            b_ell_flat, ell_ptr[c],
+            ell_ptr[c + 1] - ell_ptr[c]).reshape(-1, W)
+        a_c = jax.lax.slice_in_dim(a_stream, lo, hi)
+        prod = a_c[:, None] * jnp.take(slab, brows[c], axis=0)
+        outs.append(prod.reshape(-1))
+    return (jnp.concatenate(outs) if len(outs) > 1
+            else outs[0] if outs else jnp.zeros(0, a_vals.dtype))
+
+
+def spgemm_numeric_products(plan: ProductSpgemmPlan, a_vals,
+                            b_vals) -> jnp.ndarray:
+    """Device numeric phase in product order (COO-with-dups values
+    aligned with plan.rows/plan.cols; pads are exact zeros)."""
+    widths = tuple(W for (W, _, _, _) in plan.buckets)
+    brows = tuple(br for (_, _, _, br) in plan.buckets)
+    e_bounds = tuple((lo, hi) for (_, lo, hi, _) in plan.buckets)
+    return _spgemm_products_jit(
+        plan.a_perm, plan.ell_idx, brows, a_vals, b_vals,
+        ell_ptr=plan.ell_ptr, widths=widths, e_bounds=e_bounds)
+
+
 def spgemm_device(a: CSR, b: CSR,
                   plan: Optional[SpgemmPlan] = None) -> Tuple[CSR, SpgemmPlan]:
     """C = A @ B with the numeric multiply-accumulate on device.

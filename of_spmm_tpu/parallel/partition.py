@@ -673,22 +673,38 @@ def partition_rows(
                  bin_rows(masked_csr(row_halo), ladder=ladder))
             )
             if local_engine == "panels":
-                # interior piece: hub cols compacted next to own X so the
-                # plan's col space is [own (cps) | hub (K)] — no halo
-                # section to stage windows over
-                keep_i = np.repeat(~row_halo, np.diff(local_indptr))
-                ci = remapped[keep_i].copy()
+                # EDGE-granularity split (finer than the binned body's
+                # row split): interior = every edge whose col is in
+                # [own X | hub] (hub cols compacted next to own X, so
+                # the plan has no halo section to stage windows over),
+                # boundary = only the halo-referencing edges. At row
+                # granularity nearly every products-scale row has one
+                # out-of-shard ref (boundary_frac ~0.998 measured), so
+                # partial-sum column splitting is what makes the
+                # overlap real: t_boundary scales with CROSSING EDGES.
+                nnz_keep = ~is_halo.astype(bool)
+
+                def edge_csr(keep_nnz, col_map, width):
+                    cnt = np.zeros(rps, np.int64)
+                    seg = np.repeat(np.arange(rps),
+                                    np.diff(local_indptr))
+                    np.add.at(cnt, seg[keep_nnz], 1)
+                    ip = np.zeros(rps + 1, np.int64)
+                    np.cumsum(cnt, out=ip[1:])
+                    return CSR.from_arrays(
+                        ip, col_map[keep_nnz].astype(np.int32),
+                        v[keep_nnz], (rps, width))
+
+                ci = remapped.copy()
                 ci[ci >= cps + halo_total] -= halo_total
-                cnt_i = np.diff(local_indptr) * (~row_halo)
-                ip_i = np.zeros(local_indptr.shape[0], np.int64)
-                np.cumsum(cnt_i, out=ip_i[1:])
-                panel_int_csrs.append(CSR.from_arrays(
-                    ip_i.astype(np.int64), ci.astype(np.int32),
-                    v[keep_i], (rps, cps + K)))
+                panel_int_csrs.append(
+                    edge_csr(nnz_keep, ci, cps + K))
                 cl_int = np.concatenate([cl[:cps],
                                          cl[cps + halo_total:]])
                 panel_int_facs.append((rl, cl_int))
-                panel_csrs.append(masked_csr(row_halo))  # boundary piece
+                panel_csrs.append(
+                    edge_csr(~nnz_keep, remapped,
+                             cps + halo_total + K))  # boundary piece
         else:
             local_csr = CSR.from_arrays(
                 local_indptr.astype(np.int32),
