@@ -248,11 +248,22 @@ def make_operator(
             from of_spmm_tpu.sparse.reorder import reorder_locality
 
             pcsr, ofn, nfo = reorder_locality(csr, method=reorder)
-        plan = _bp(pcsr)
+
+        def _build(c):
+            if layout != "panels":
+                return _bp(c)
+            try:
+                return _bp(c)
+            except ValueError:
+                # non-rank-1 values: the general per-edge panel mode
+                # (every edge staged pre-scaled; sparse/panels.py)
+                return _bp(c, per_edge=True)
+
+        plan = _build(pcsr)
         if pcsr.shape[0] == pcsr.shape[1] and _is_symmetric(pcsr):
             plan_t = plan
         else:
-            plan_t = _bp(pcsr.transpose())
+            plan_t = _build(pcsr.transpose())
         return _place(SpmmOperator(
             binned=plan,
             binned_t=plan_t,

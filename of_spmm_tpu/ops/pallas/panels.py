@@ -213,6 +213,20 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
 
     SPLIT = 2048
 
+    def _split(buf):
+        # bitcast hi/lo (ops/pallas/expansion.py split_hilo): the naive
+        # ``x - f32(bf16(x))`` residual is constant-folded to ZERO by
+        # XLA under excess precision — observed on the attached chip for
+        # jit-side splits (r4) AND, r5, by XLA:CPU for the interpreted
+        # kernel tier (every scattered/range contribution silently
+        # degraded to single-bf16 in interpret-mode tests). The masked
+        # hi_f32 cannot be pattern-matched away.
+        u = jax.lax.bitcast_convert_type(buf, jnp.uint32)
+        hi_f32 = jax.lax.bitcast_convert_type(
+            u & jnp.uint32(0xFFFF0000), jnp.float32)
+        return hi_f32.astype(jnp.bfloat16), (buf - hi_f32).astype(
+            jnp.bfloat16)
+
     # ---- first step of a RANGE: split f32 range rows -> window ----------
     @pl.when(jnp.logical_and(do_comp, r_first == 1))
     def _():
@@ -222,9 +236,7 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
             #                            a full-chunk tail would clobber
             #                            the scattered window region
             roff = pl.multiple_of(r_read + c0, _L)
-            rbuf = range_f32[pl.ds(roff, cn), :]
-            hi = rbuf.astype(jnp.bfloat16)
-            lo = (rbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            hi, lo = _split(range_f32[pl.ds(roff, cn), :])
             woff = pl.multiple_of(H_blocks * _L + r_read + c0, _L)
             hilo[pl.ds(woff, cn), 0:_L] = hi
             hilo[pl.ds(woff, cn), _L:2 * _L] = lo
@@ -239,9 +251,7 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
             @pl.when(c0 < s_ext)
             def _(c0=c0):
                 soff = pl.multiple_of(s_read + c0, _L)
-                sbuf = scat_f32[pl.ds(soff, SC), :]
-                hi = sbuf.astype(jnp.bfloat16)
-                lo = (sbuf - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+                hi, lo = _split(scat_f32[pl.ds(soff, SC), :])
                 woff = pl.multiple_of(
                     H_blocks * _L + 2 * RC + s_read + c0, _L)
                 hilo[pl.ds(woff, SC), 0:_L] = hi
@@ -312,8 +322,26 @@ def _segment_call(seg: PanelSegment, plan: PanelPlan, hot_hilo, xs,
         pl.BlockSpec(memory_space=pl.ANY),       # X (HBM, f32)
         pl.BlockSpec(memory_space=pl.ANY),       # linear take table (f32)
     ]
-    table = jnp.take(xs, jnp.asarray(seg.stage_take), axis=0,
-                     mode="clip")
+    take_idx = jnp.asarray(seg.stage_take)
+    # 2-D index batching (r5): reshaping the flat index vector to
+    # (rows/k, k) keeps the produced table bit-identical (row-major)
+    # but nudges the XLA TPU gather emitter onto its batched path.
+    # In situ it is a consistent ~5% take-phase win (146.4 -> 139.3 ms
+    # on full products, 14.0 -> 12.7 ms products-small); the ~20x gap
+    # in the synthetic microbench (tools/exp_take_width.py) does not
+    # transfer — the in-situ flat take already ran near the same rate.
+    from of_spmm_tpu.utils.config import FLAGS
+
+    k = max(int(FLAGS.get("OFS_TAKE_ARITY")), 1)
+    if k > 1 and take_idx.shape[0] % k == 0:
+        table = jnp.take(xs, take_idx.reshape(-1, k), axis=0,
+                         mode="clip").reshape(-1, xs.shape[1])
+    else:
+        table = jnp.take(xs, take_idx, axis=0, mode="clip")
+    if seg.stage_scale is not None:
+        # general-valued (per-edge) plan: each staged row pre-scaled by
+        # its edge value in the same bandwidth-bound table pass
+        table = table * jnp.asarray(seg.stage_scale)[:, None]
     args = [seg.ctrl, seg.rcopy,
             *([seg.dsrc] if has_direct else []), seg.blk, seg.masks,
             hot_hilo, xs, table]

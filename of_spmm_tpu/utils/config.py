@@ -152,6 +152,16 @@ FLAGS.define_int(
     "else 1024; panels picks 8192 for graphs >= 8M nnz, else 1024.",
 )
 FLAGS.define_int(
+    "OFS_TAKE_ARITY",
+    8,
+    "Index arity k for the panel engine's staging gather "
+    "(ops/pallas/panels.py): the linear take table is gathered with "
+    "(rows/k, k)-shaped indices instead of a flat vector, nudging the "
+    "XLA TPU gather emitter onto its batched path (~5% take-phase win "
+    "in situ, r5). The produced table layout is identical. "
+    "1 = flat (r4 behavior).",
+)
+FLAGS.define_int(
     "OFS_HBM_BYTES",
     0,
     "Per-chip HBM bytes for the fused-plan memory budget "

@@ -197,3 +197,60 @@ def test_panels_plan_memory_report():
     assert rep["fits"]
     tiny = plan_memory_report(plan, d=128, hbm_limit=1 << 20)
     assert not tiny["fits"]
+
+
+def test_panels_per_edge_general_values():
+    """General-valued per-edge mode (r5, VERDICT r4 item 6): arbitrary
+    mixed-sign values run the unchanged kernel via per-edge pre-scaled
+    staged rows (PanelSegment.stage_scale). Reference semantics:
+    gather x segment-sum with arbitrary vals
+    (oneflow/user/ops/unsorted_segment_sum_op.cpp:21-131)."""
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.pallas.panels import spmm_panels
+    from of_spmm_tpu.sparse.formats import COO
+
+    rng = np.random.default_rng(41)
+    n, m, nnz = 700, 900, 12000
+    rows = rng.integers(0, n, nnz).astype(np.int32)
+    cols = rng.integers(0, m, nnz).astype(np.int32)
+    vals = rng.standard_normal(nnz).astype(np.float32)
+    csr = CSR.from_coo(COO.from_arrays(rows, cols, vals, (n, m)))
+    # values do NOT factor rank-1: the plain build must refuse...
+    with pytest.raises(ValueError):
+        build_panels_plan(csr, T=1024)
+    # ...and the per-edge build must match the dense oracle
+    plan = build_panels_plan(csr, T=1024, per_edge=True)
+    assert plan.n_hot == 0 and plan.n_scattered >= nnz
+    assert all(seg.stage_scale is not None for seg in plan.segments)
+    dense = np.zeros((n, m), np.float64)
+    np.add.at(dense, (rows, cols), vals.astype(np.float64))
+    x = rng.standard_normal((m, 128)).astype(np.float32)
+    got = np.asarray(spmm_panels(plan, jnp.asarray(x)))
+    want = dense @ x.astype(np.float64)
+    np.testing.assert_allclose(got, want, rtol=RTOL,
+                               atol=ATOL * np.abs(want).max() + ATOL)
+
+
+def test_panels_operator_general_values_fallback():
+    """make_operator(layout='panels') on a non-rank-1 matrix routes to
+    the per-edge mode (forward + transposed backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.autograd import make_operator, spmm
+
+    rng = np.random.default_rng(43)
+    n = 500
+    dense = (rng.random((n, n)) < 0.02).astype(np.float32)
+    dense *= rng.standard_normal((n, n)).astype(np.float32)  # per-edge w
+    csr = CSR.from_dense(dense)
+    op = make_operator(csr, layout="panels", place=False)
+    x = rng.standard_normal((n, 16)).astype(np.float32)
+    w = rng.standard_normal((n, 16)).astype(np.float32)
+    y = spmm(op, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y), dense @ x, rtol=RTOL,
+                               atol=ATOL * np.abs(dense @ x).max() + ATOL)
+    g = jax.grad(lambda xx: jnp.sum(spmm(op, xx) * w))(jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(g), dense.T @ w, rtol=RTOL,
+                               atol=ATOL * np.abs(dense.T @ w).max() + ATOL)
