@@ -46,36 +46,51 @@ _NSEM = _SD + 2 * DMAX
 _RG_HALF = 2
 
 
-def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
+def _kernel(tile_of_ref, sc_ref, *rest, R, G, S_buf, RC,
             H_blocks, RMAX, RQ, has_direct, interpret):
-    # dsrc only ships when the plan stages direct rows: an extra SMEM
-    # operand stream costs measurable per-step overhead on every plan
-    if has_direct:
-        dsrc_ref, rest = rest[0], rest[1:]
-    else:
-        dsrc_ref = None
-    (blk_ref, masks_ref, hot_ref, xs_ref, table_ref, o_ref, hilo,
+    # ONE packed per-step SMEM stream [ctrl | rcopy src | rcopy dst |
+    # dsrc? | blk]: each separate per-step operand costs its own
+    # pipeline DMA + semaphore round per grid step (~0.2-0.3 us), which
+    # D_gridonly measured as the DOMINANT phase on small graphs (arxiv
+    # 2.5 ms of 5.3 at ~0.95 us/step, r5). Offsets are static.
+    (masks_ref, hot_ref, xs_ref, table_ref, o_ref, hilo,
      range_f32, scat_f32, sem) = rest
+    _RB = 24                       # rcopy src base
+    _DB = _RB + 2 * RMAX           # dsrc base (when has_direct)
+    _GB = _DB + (DMAX if has_direct else 0)  # blk base
+
+    def rcopy_src(k):
+        return sc_ref[0, 0, _RB + k]
+
+    def rcopy_dst(k):
+        return sc_ref[0, 0, _RB + RMAX + k]
+
+    def dsrc_at(k):
+        return sc_ref[0, 0, _DB + k]
+
+    def blk_at(g):
+        return sc_ref[0, 0, _GB + g]
+
     i = pl.program_id(0)
-    tile = ctrl_ref[0, 0, 0]
-    g_cnt = ctrl_ref[0, 0, 1]
-    s_src = ctrl_ref[0, 0, 2]
-    s_big = ctrl_ref[0, 0, 3]
-    r_cnt = ctrl_ref[0, 0, 4]
-    s_dst = ctrl_ref[0, 0, 5]
-    prev_big = ctrl_ref[0, 0, 6]
-    s_tail = ctrl_ref[0, 0, 7]
-    prev_tail = ctrl_ref[0, 0, 8]
-    zero_out = ctrl_ref[0, 0, 9]
-    r_first = ctrl_ref[0, 0, 10]
-    r_read = ctrl_ref[0, 0, 11]
-    prev_r_cnt = ctrl_ref[0, 0, 12]
-    s_read = ctrl_ref[0, 0, 13]
-    s_ext = ctrl_ref[0, 0, 14]
-    t_first = ctrl_ref[0, 0, 15]
-    d_cnt = ctrl_ref[0, 0, 16]
-    prev_d = ctrl_ref[0, 0, 17]
-    d_dst = ctrl_ref[0, 0, 18]
+    tile = sc_ref[0, 0, 0]
+    g_cnt = sc_ref[0, 0, 1]
+    s_src = sc_ref[0, 0, 2]
+    s_big = sc_ref[0, 0, 3]
+    r_cnt = sc_ref[0, 0, 4]
+    s_dst = sc_ref[0, 0, 5]
+    prev_big = sc_ref[0, 0, 6]
+    s_tail = sc_ref[0, 0, 7]
+    prev_tail = sc_ref[0, 0, 8]
+    zero_out = sc_ref[0, 0, 9]
+    r_first = sc_ref[0, 0, 10]
+    r_read = sc_ref[0, 0, 11]
+    prev_r_cnt = sc_ref[0, 0, 12]
+    s_read = sc_ref[0, 0, 13]
+    s_ext = sc_ref[0, 0, 14]
+    t_first = sc_ref[0, 0, 15]
+    d_cnt = sc_ref[0, 0, 16]
+    prev_d = sc_ref[0, 0, 17]
+    d_dst = sc_ref[0, 0, 18]
     do_comp = tile >= 0
     RCB = RC // _L
 
@@ -156,8 +171,8 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
         for k in range(RMAX):
             @pl.when(k < r_cnt)
             def _(k=k):
-                src = rcopy_ref[0, 0, k]
-                dst = pl.multiple_of(rcopy_ref[0, 1, k], RQ)
+                src = rcopy_src(k)
+                dst = pl.multiple_of(rcopy_dst(k), RQ)
                 pltpu.make_async_copy(
                     xs_ref.at[pl.ds(src, RQ), :],
                     range_f32.at[pl.ds(dst, RQ), :],
@@ -191,7 +206,7 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
             for k in range(DMAX):
                 @pl.when(k < d_cnt)
                 def _(k=k):
-                    src = dsrc_ref[0, 0, k]
+                    src = dsrc_at(k)
                     pltpu.make_async_copy(
                         xs_ref.at[pl.ds(src, 1), :],
                         scat_f32.at[pl.ds(d_dst + k, 1), :],
@@ -267,7 +282,7 @@ def _kernel(tile_of_ref, ctrl_ref, rcopy_ref, *rest, R, G, S_buf, RC,
     @pl.when(jnp.logical_and(do_comp, g_cnt != 1))
     def _():
         def group(g):
-            blk = blk_ref[0, 0, g]
+            blk = blk_at(g)
             woff = pl.multiple_of(
                 blk * _L + jnp.where(
                     blk >= H_blocks + RCB, RC + s_read,
@@ -310,11 +325,9 @@ def _segment_call(seg: PanelSegment, plan: PanelPlan, hot_hilo, xs,
                             lambda i, t: (i,) + (0,) * (len(shape) - 1),
                             memory_space=pltpu.SMEM)
 
+    W = 24 + 2 * plan.RMAX + (DMAX if has_direct else 0) + G
     in_specs = [
-        smem((1, 1, 24)),                    # ctrl
-        smem((1, 2, plan.RMAX)),             # rcopy
-        *([smem((1, 1, DMAX))] if has_direct else []),   # dsrc
-        smem((1, 1, G)),                     # blk
+        smem((1, 1, W)),                     # packed per-step scalars
         pl.BlockSpec((G, 4, _L), lambda i, t: (i, 0, 0),
                      memory_space=pltpu.VMEM),   # masks
         pl.BlockSpec((max(H_blocks * _L, _L), 256), lambda i, t: (0, 0),
@@ -342,9 +355,13 @@ def _segment_call(seg: PanelSegment, plan: PanelPlan, hot_hilo, xs,
         # general-valued (per-edge) plan: each staged row pre-scaled by
         # its edge value in the same bandwidth-bound table pass
         table = table * jnp.asarray(seg.stage_scale)[:, None]
-    args = [seg.ctrl, seg.rcopy,
-            *([seg.dsrc] if has_direct else []), seg.blk, seg.masks,
-            hot_hilo, xs, table]
+    n_steps = seg.n_steps
+    packed = jnp.concatenate(
+        [jnp.asarray(seg.ctrl),
+         jnp.asarray(seg.rcopy).reshape(n_steps, 1, 2 * plan.RMAX),
+         *([jnp.asarray(seg.dsrc)] if has_direct else []),
+         jnp.asarray(seg.blk)], axis=2)
+    args = [packed, seg.masks, hot_hilo, xs, table]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,

@@ -147,7 +147,12 @@ def main():
         csr2, _, _ = reorder_locality(csr, "match")
         return csr2, time.time() - t0
 
-    kw = dict(replicate_hubs="auto", ragged=True, refine_slack=0.1,
+    # hubs FIXED at 16K, not "auto": the auto chooser minimizes exchanged
+    # BYTES, but hubs earn their broadcast through boundary-fraction
+    # reduction (more interior edges overlapping the collective) — the
+    # r5 study rows show hubs16k beating auto-chosen 0 hubs on SoL eff
+    # (0.692 vs 0.641) despite costing 55 MB of broadcast.
+    kw = dict(replicate_hubs=16384, ragged=True, refine_slack=0.1,
               split_boundary=False)
 
     if args.study:
