@@ -830,12 +830,14 @@ def spgemm_symbolic_products(a: CSR, b: CSR,
     b_deg = np.diff(b_indptr)
     ladder = tuple(sorted(set(int(w) for w in ladder)))
     wmax = ladder[-1]
-    if int(b_deg.max(initial=0)) > wmax:
-        raise ValueError(f"B row degree {int(b_deg.max())} exceeds the "
-                         f"ladder cap {wmax}")
     # width class per B row (rows with degree 0 never join: their
-    # products do not exist)
-    wclass = np.searchsorted(ladder, np.maximum(b_deg, 1))
+    # products do not exist); rows wider than wmax get class len(ladder)
+    # and are split into ceil(deg/wmax) wmax-wide partial slab rows, the
+    # referencing A edge repeated once per part (power-law B: arxiv has
+    # degree-1363 rows vs the 512 cap)
+    wclass = np.searchsorted(ladder, np.minimum(np.maximum(b_deg, 1),
+                                                wmax))
+    wclass[b_deg > wmax] = len(ladder)
     a_perm_parts, bucket_descs = [], []
     ell_parts, ell_ptr = [], [0]
     rows_parts, cols_parts = [], []
@@ -870,6 +872,44 @@ def spgemm_symbolic_products(a: CSR, b: CSR,
         n_products += int(b_deg[a_cols[edges_c]].sum())
         e_lo = e_hi
         ell_ptr.append(ell_ptr[-1] + rows_c.shape[0] * W)  # flat elems
+    # big class: B rows wider than wmax, split into wmax-wide parts
+    big_rows = np.nonzero(b_deg > wmax)[0]
+    edges_big = np.nonzero(b_deg[a_cols] > wmax)[0]
+    if big_rows.shape[0] and edges_big.shape[0]:
+        W = wmax
+        n_part = (-(-b_deg[big_rows] // W)).astype(np.int64)
+        tot_parts = int(n_part.sum())
+        part_owner = np.repeat(big_rows, n_part)          # (tot_parts,)
+        part_first = np.cumsum(n_part) - n_part
+        within = (np.arange(tot_parts, dtype=np.int64)
+                  - np.repeat(part_first, n_part))        # part index
+        off = within[:, None] * W + np.arange(W)[None, :]
+        base = b_indptr[part_owner][:, None] + off
+        valid = off < b_deg[part_owner][:, None]
+        ell = np.where(valid, np.minimum(base, nnz_b - 1), nnz_b)
+        ell_parts.append(ell.astype(np.int32).ravel())
+        part_base = np.full(m, -1, np.int64)
+        part_base[big_rows] = part_first
+        n_part_of = np.zeros(m, np.int64)
+        n_part_of[big_rows] = n_part
+        rep = n_part_of[a_cols[edges_big]]                # parts/edge
+        a_perm_big = np.repeat(edges_big, rep)
+        e_first = np.cumsum(rep) - rep
+        within_e = (np.arange(int(rep.sum()), dtype=np.int64)
+                    - np.repeat(e_first, rep))
+        brow_ids = (np.repeat(part_base[a_cols[edges_big]], rep)
+                    + within_e).astype(np.int32)
+        a_perm_parts.append(a_perm_big.astype(np.int32))
+        e_hi = e_lo + a_perm_big.shape[0]
+        bucket_descs.append((W, e_lo, e_hi, brow_ids))
+        pos = ell[brow_ids].reshape(-1)
+        oc = b_cols[np.minimum(pos, max(nnz_b - 1, 0))]
+        orow = np.repeat(a_rows[a_perm_big], W)
+        rows_parts.append(orow.astype(np.int32))
+        cols_parts.append(oc.astype(np.int32))
+        n_products += int(b_deg[a_cols[edges_big]].sum())
+        e_lo = e_hi
+        ell_ptr.append(ell_ptr[-1] + tot_parts * W)
     a_perm = (np.concatenate(a_perm_parts) if a_perm_parts
               else np.zeros(0, np.int32))
     return ProductSpgemmPlan(

@@ -470,3 +470,30 @@ def test_spgemm_products_empty_and_ladder_cap():
     d = CSR.from_dense(np.ones((4, 4), np.float32))
     with pytest.raises(ValueError, match="ladder"):
         spgemm_symbolic_products(d, d, ladder=(1, 2))
+
+
+def test_spgemm_products_big_rows():
+    """Product-form symbolic splits B rows wider than the ladder cap
+    into wmax-wide partial slabs (arxiv-class power-law degree; r5)."""
+    import jax.numpy as jnp
+    import scipy.sparse as sp
+
+    from of_spmm_tpu.ops.autograd import (spgemm_numeric_products,
+                                          spgemm_symbolic_products)
+    from of_spmm_tpu.sparse.formats import CSR
+
+    rng = np.random.default_rng(11)
+    n = 400
+    dense = rng.random((n, n)) < 0.01
+    dense[7, :] |= rng.random(n) < 0.9   # degree ~360 > cap 64
+    A = sp.csr_matrix(dense.astype(np.float32))
+    A.data[:] = rng.standard_normal(A.nnz).astype(np.float32)
+    csr = CSR.from_arrays(A.indptr.astype(np.int64),
+                          A.indices.astype(np.int32), A.data, (n, n))
+    plan = spgemm_symbolic_products(csr, csr, ladder=(1, 4, 16, 64))
+    vals = spgemm_numeric_products(plan, jnp.asarray(A.data),
+                                   jnp.asarray(A.data))
+    C = sp.coo_matrix((np.asarray(vals), (plan.rows, plan.cols)),
+                      shape=(n, n)).toarray()
+    Cref = (A @ A).toarray()
+    assert np.abs(C - Cref).max() <= 1e-5 * max(np.abs(Cref).max(), 1)
