@@ -467,9 +467,20 @@ def test_spgemm_products_empty_and_ladder_cap():
     z = CSR.from_dense(np.zeros((8, 8), np.float32))
     plan = spgemm_symbolic_products(z, z)
     assert plan.n_out == 0 and plan.n_products == 0
+    # rows wider than the ladder cap split into partial slabs (r5 —
+    # the r4 behavior raised ValueError)
     d = CSR.from_dense(np.ones((4, 4), np.float32))
-    with pytest.raises(ValueError, match="ladder"):
-        spgemm_symbolic_products(d, d, ladder=(1, 2))
+    plan = spgemm_symbolic_products(d, d, ladder=(1, 2))
+    assert plan.n_products == 4 * 4 * 4
+    import jax.numpy as jnp
+
+    from of_spmm_tpu.ops.autograd import spgemm_numeric_products
+
+    ones = jnp.ones(16, jnp.float32)
+    vals = np.asarray(spgemm_numeric_products(plan, ones, ones))
+    out = np.zeros((4, 4), np.float32)
+    np.add.at(out, (plan.rows, plan.cols), vals)
+    np.testing.assert_allclose(out, np.full((4, 4), 4.0), rtol=1e-6)
 
 
 def test_spgemm_products_big_rows():
