@@ -151,13 +151,12 @@ def _kernel(tile_of_ref, sc_ref, *rest, R, G, S_buf, RC,
                     scat_f32.at[pl.ds(dst, TQ), :],
                     sem.at[_ST + k + half_issue * TMAX]).start()
 
-    @pl.when(i % 2 == 0)
-    def _():
-        scat_block(0, 1)
-
-    @pl.when(i % 2 == 1)
-    def _():
-        scat_block(1, 0)
+    # dynamic parity (r5): ONE instantiation of each staging block with
+    # the semaphore half selected by a traced scalar — the previous
+    # i%2-branch pair doubled the per-step predicated-block count, and
+    # per-step scalar work IS the measured grid overhead (~0.95 us/step)
+    half = i % 2
+    scat_block(half, 1 - half)
 
     # ---- range block copies (RQ-row chunks from X) ----------------------
     def rng_block(slot_issue, slot_wait):
@@ -178,13 +177,7 @@ def _kernel(tile_of_ref, sc_ref, *rest, R, G, S_buf, RC,
                     range_f32.at[pl.ds(dst, RQ), :],
                     sem.at[_SR + (k % _RG_HALF) + slot_issue]).start()
 
-    @pl.when(i % 2 == 0)
-    def _():
-        rng_block(0, _RG_HALF)
-
-    @pl.when(i % 2 == 1)
-    def _():
-        rng_block(_RG_HALF, 0)
+    rng_block(half * _RG_HALF, (1 - half) * _RG_HALF)
 
     # ---- direct rows: single X rows fetched by the kernel itself --------
     # Issue cost is ADDITIVE on the scalar instruction stream (measured
@@ -213,13 +206,7 @@ def _kernel(tile_of_ref, sc_ref, *rest, R, G, S_buf, RC,
                         sem.at[_SD + k + half_issue * DMAX]).start()
 
     if has_direct:
-        @pl.when(i % 2 == 0)
-        def _():
-            dir_block(0, 1)
-
-        @pl.when(i % 2 == 1)
-        def _():
-            dir_block(1, 0)
+        dir_block(half, 1 - half)
 
     # ---- zero output on the first step of a tile's first piece ----------
     @pl.when(jnp.logical_and(do_comp, zero_out == 1))

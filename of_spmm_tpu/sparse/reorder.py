@@ -154,6 +154,15 @@ def matching_order(csr: CSR, coarse_n: int = 2048,
     for this pass — PROFILE_r04.md); matching has no label dynamics to
     oscillate. O(E log E) per level with geometrically shrinking E.
 
+    r5 refinement study (negative results, committed so they are not
+    re-tried): spectrally re-sequencing 128/256/512-row chunks of the
+    final order moves shuffled products-small band coverage by <0.001
+    (0.5949 -> 0.5950); coarse_n {512: 0.589, 2048: 0.595, 8192: 0.563,
+    32768: 0.448} peaks at the default; a second matching pass on the
+    relabeled graph LOSES coverage (0.577). The remaining gap to the
+    planted 0.797 lives in the level-0 matching quality (hub-capped
+    Jaccard mis-merges), not in supernode sequencing.
+
     The native path (csrc/planner.cpp hem_order) and this numpy
     fallback differ algorithmically: native uses Jaccard
     common-neighbor level-0 weights (256-degree hub cap) with GREEDY
