@@ -519,11 +519,13 @@ def main():
     meta = {}
     if args.layout == "auto" and set(impls) == {"xla", "pallas"}:
         # each impl on its measured-best layout: XLA on the tiered/binned
-        # auto choice; the Pallas engines on their own plans — the r4
-        # dense-mask panel engine (flagship) and the r3 range-staging
-        # engine (fallback; also the non-rank-1 path). All three report;
-        # the best wins the headline and any failure is surfaced in the
-        # JSON.
+        # auto choice; the Pallas flagship on the panel plan. The r3
+        # ranges engine is RETIRED from the default sweep (r5, VERDICT
+        # r4 item 7): the panel engine now covers its last exclusive
+        # niche (arbitrary values, via the per-edge mode) and strictly
+        # dominates it on every measured config (0.28 vs 0.105 full
+        # products; 0.19 vs 0.11 arxiv) while ranges placement cost
+        # 120-434 s of the bench tail. Still reachable: --layout ranges.
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=("xla",), tier_size=args.tier_size,
                               layout="auto", shuffled=args.shuffled)
@@ -533,11 +535,6 @@ def main():
                           layout="panels", shuffled=args.shuffled)
         meta["panels"] = pan.pop("_meta", {})
         results.update({"pallas-panels": v for v in pan.values()})
-        rng_r = bench_graph(args.graph, d=args.d, iters=args.iters,
-                            impls=("pallas",), tier_size=args.tier_size,
-                            layout="ranges", shuffled=args.shuffled)
-        meta["ranges"] = rng_r.pop("_meta", {})
-        results.update({"pallas-ranges": v for v in rng_r.values()})
     else:
         results = bench_graph(args.graph, d=args.d, iters=args.iters,
                               impls=impls, tier_size=args.tier_size,
