@@ -456,7 +456,9 @@ def bench_all(args):
     extras["spgemm_ogbn-arxiv"] = {
         "host_ms": sp["seconds"] * 1e3, "host_gflops": sp["gflops"],
         "device_ms": sp["device_seconds"] * 1e3,
-        "device_gflops": sp["device_gflops"]}
+        "device_gflops": sp["device_gflops"],
+        "device_products_ms": sp["device_products_seconds"] * 1e3,
+        "device_products_gflops": sp["device_products_gflops"]}
     return extras
 
 
