@@ -92,8 +92,10 @@ def bench_graph(name: str, d: int = 128, iters: int = 8, impls=("xla", "pallas")
         from of_spmm_tpu.sparse.fused import _BIG_T_NNZ, DEFAULT_T
 
         nnz_est = NAMED_CONFIGS[name].n_edges
-        FT = int(FLAGS.get("OFS_FUSED_T")) or (
-            _BIG_T_PANELS if nnz_est >= _BIG_T_NNZ else DEFAULT_T)
+        from of_spmm_tpu.sparse.panels import default_panels_t
+
+        FT = int(FLAGS.get("OFS_FUSED_T")) or default_panels_t(
+            nnz_est, NAMED_CONFIGS[name].n_nodes)
         ly_key = (f"|ly-panels-T{FT}-hot{PHB}.{PMR}-rc{PRC}-mb{PMB}-v6")
     elif layout in ("fused", "ranges"):
         from of_spmm_tpu.sparse.fused import (

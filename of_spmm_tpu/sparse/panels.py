@@ -348,6 +348,26 @@ def ensure_masks(plan: "PanelPlan", device: bool = False) -> "PanelPlan":
     return dataclasses.replace(plan, segments=tuple(segs))
 
 
+def default_panels_t(nnz: int, n_rows: int) -> int:
+    """Adaptive lanes-per-step T for the panel engine.
+
+    Big graphs (>= 8M nnz) take T=8192: the group loop has no dependent
+    chains, so large G cuts the ~0.95 us/step grid overhead (full
+    products 283.0 -> 275.7 ms vs T=4096). MID-sized graphs with MANY
+    tiles (arxiv: 1.2M nnz over 1323 tiles) take T=2048 — grid overhead
+    scales with tile count while padding scales with tiles x G, and the
+    measured optimum moves up once tiles >= ~1K (arxiv 5.32 -> 5.06 ms
+    vs T=1024). Few-tile small graphs (reddit-small: 182 tiles) keep
+    T=1024 (measured best, r4).
+    """
+    n_tiles = max(-(-n_rows // _L), 1)
+    if nnz >= _BIG_T_NNZ:
+        return _BIG_T_PANELS
+    if n_tiles >= 1024:
+        return 2048
+    return DEFAULT_T
+
+
 def build_panels_plan(
     csr: CSR,
     R: int = DEFAULT_R,
@@ -401,8 +421,8 @@ def build_panels_plan(
     if T is None:
         from of_spmm_tpu.utils.config import FLAGS
 
-        T = int(FLAGS.get("OFS_FUSED_T")) or (
-            _BIG_T_PANELS if csr.nnz >= _BIG_T_NNZ else DEFAULT_T)
+        T = int(FLAGS.get("OFS_FUSED_T")) or default_panels_t(
+            csr.nnz, csr.shape[0])
     n, m = csr.shape
     G = T // _L
     direct_quota = min(max(int(direct_quota), 0), DMAX)
